@@ -1,0 +1,204 @@
+"""PyTorch-checkpoint -> flax-params importers.
+
+Replicates the reference's lenient checkpoint-loading semantics
+(ref: model.py:295-386): key intersection with missing/unexpected/mismatch
+reporting, temporal/spatial position-embedding slicing on size mismatch, and
+SwinBERT key remapping — but producing JAX pytrees instead of torch modules.
+
+All functions take a flat ``{torch_key: numpy array}`` dict (the caller is
+responsible for ``torch.load`` + ``.numpy()`` conversion, so this module has
+no torch dependency and works from saved ``.npz`` conversions too).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Mapping
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+Params = dict[str, Any]
+
+
+def _set(tree: Params, path: str, value: np.ndarray) -> None:
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _linear(tree: Params, flax_path: str, sd: Mapping[str, np.ndarray],
+            torch_prefix: str, bias: bool = True) -> None:
+    """torch nn.Linear (out,in) -> flax Dense kernel (in,out)."""
+    _set(tree, f"{flax_path}.kernel", np.ascontiguousarray(sd[f"{torch_prefix}.weight"].T))
+    if bias and f"{torch_prefix}.bias" in sd:
+        _set(tree, f"{flax_path}.bias", sd[f"{torch_prefix}.bias"])
+
+
+def _layernorm(tree: Params, flax_path: str, sd: Mapping[str, np.ndarray],
+               torch_prefix: str) -> None:
+    _set(tree, f"{flax_path}.scale", sd[f"{torch_prefix}.weight"])
+    _set(tree, f"{flax_path}.bias", sd[f"{torch_prefix}.bias"])
+
+
+def swin3d_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    depths: tuple[int, ...],
+    prefix: str = "",
+) -> Params:
+    """Convert a reference ``SwinTransformer3D`` state_dict into the param
+    tree of :class:`empirical_mvm_tpu.models.video_swin.SwinTransformer3D`.
+
+    Key map (torch -> flax), ref: visbackbone/video_swin.py module tree:
+      patch_embed.proj.{weight,bias}    -> patch_embed_proj_{kernel,bias}
+      patch_embed.norm                  -> patch_embed_norm
+      layers.{i}.blocks.{j}.*           -> layers_{i}.blocks_{j}.*
+      layers.{i}.downsample.*           -> layers_{i}.downsample.*
+      norm                              -> norm
+    ``relative_position_index`` buffers are regenerated, not loaded
+    (ref: visbackbone/video_swin.py:499-502 deletes them on load too).
+    """
+    p = prefix
+    tree: Params = {}
+    # conv3d OIDHW (E, C, kd, kh, kw) -> (kd, kh, kw, C, E)
+    _set(tree, "patch_embed_proj_kernel",
+         np.ascontiguousarray(sd[f"{p}patch_embed.proj.weight"].transpose(2, 3, 4, 1, 0)))
+    _set(tree, "patch_embed_proj_bias", sd[f"{p}patch_embed.proj.bias"])
+    if f"{p}patch_embed.norm.weight" in sd:
+        _layernorm(tree, "patch_embed_norm", sd, f"{p}patch_embed.norm")
+
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            tb = f"{p}layers.{i}.blocks.{j}"
+            fb = f"layers_{i}.blocks_{j}"
+            _layernorm(tree, f"{fb}.norm1", sd, f"{tb}.norm1")
+            _layernorm(tree, f"{fb}.norm2", sd, f"{tb}.norm2")
+            _set(tree, f"{fb}.attn.relative_position_bias_table",
+                 sd[f"{tb}.attn.relative_position_bias_table"])
+            _linear(tree, f"{fb}.attn.qkv", sd, f"{tb}.attn.qkv")
+            _linear(tree, f"{fb}.attn.proj", sd, f"{tb}.attn.proj")
+            _linear(tree, f"{fb}.mlp.fc1", sd, f"{tb}.mlp.fc1")
+            _linear(tree, f"{fb}.mlp.fc2", sd, f"{tb}.mlp.fc2")
+        if f"{p}layers.{i}.downsample.norm.weight" in sd:
+            _layernorm(tree, f"layers_{i}.downsample.norm", sd,
+                       f"{p}layers.{i}.downsample.norm")
+            _linear(tree, f"layers_{i}.downsample.reduction", sd,
+                    f"{p}layers.{i}.downsample.reduction", bias=False)
+    _layernorm(tree, "norm", sd, f"{p}norm")
+    return tree
+
+
+def bert_embeddings_params_from_torch(sd: Mapping[str, np.ndarray],
+                                      prefix: str) -> Params:
+    """HF BertEmbeddings state_dict -> our BertEmbeddings param tree."""
+    tree: Params = {}
+    _set(tree, "word_embeddings.embedding", sd[f"{prefix}word_embeddings.weight"])
+    _set(tree, "position_embeddings.embedding", sd[f"{prefix}position_embeddings.weight"])
+    _set(tree, "token_type_embeddings.embedding", sd[f"{prefix}token_type_embeddings.weight"])
+    _layernorm(tree, "LayerNorm", sd, f"{prefix}LayerNorm")
+    return tree
+
+
+def bert_encoder_params_from_torch(sd: Mapping[str, np.ndarray], prefix: str,
+                                   num_layers: int) -> Params:
+    """HF BertEncoder state_dict -> our BertEncoder param tree."""
+    tree: Params = {}
+    for i in range(num_layers):
+        tl = f"{prefix}layer.{i}"
+        fl = f"layer_{i}"
+        _linear(tree, f"{fl}.attention.query", sd, f"{tl}.attention.self.query")
+        _linear(tree, f"{fl}.attention.key", sd, f"{tl}.attention.self.key")
+        _linear(tree, f"{fl}.attention.value", sd, f"{tl}.attention.self.value")
+        _linear(tree, f"{fl}.attention.out", sd, f"{tl}.attention.output.dense")
+        _layernorm(tree, f"{fl}.attention.LayerNorm", sd,
+                   f"{tl}.attention.output.LayerNorm")
+        _linear(tree, f"{fl}.intermediate", sd, f"{tl}.intermediate.dense")
+        _linear(tree, f"{fl}.output", sd, f"{tl}.output.dense")
+        _layernorm(tree, f"{fl}.LayerNorm", sd, f"{tl}.output.LayerNorm")
+    return tree
+
+
+def bert_mlm_head_params_from_torch(sd: Mapping[str, np.ndarray],
+                                    prefix: str) -> Params:
+    """HF BertOnlyMLMHead (``cls.``) state_dict -> our BertMLMHead tree
+    (ref: main_pretrain.py:148-150 picks ``bert.cls`` as fc_mtm)."""
+    tree: Params = {}
+    _linear(tree, "transform", sd, f"{prefix}predictions.transform.dense")
+    _layernorm(tree, "LayerNorm", sd, f"{prefix}predictions.transform.LayerNorm")
+    _linear(tree, "decoder", sd, f"{prefix}predictions.decoder", bias=False)
+    # HF stores the tied decoder bias at cls.predictions.bias
+    bias_key = (f"{prefix}predictions.decoder.bias"
+                if f"{prefix}predictions.decoder.bias" in sd
+                else f"{prefix}predictions.bias")
+    _set(tree, "decoder.bias", sd[bias_key])
+    return tree
+
+
+def _slice_pos_embs(sd: dict[str, np.ndarray], model_cfg) -> dict[str, np.ndarray]:
+    """Temporal/spatial pos-emb slicing on size mismatch
+    (ref: model.py:342-353)."""
+    out = dict(sd)
+    key = "enc_img.emb_len"
+    if key in out:
+        want = model_cfg.max_size_frame
+        have = out[key].shape[1]
+        if have > want:
+            out[key] = out[key][:, :want]
+        elif have < want:
+            pad = np.zeros((1, want - have, 1, out[key].shape[-1]), out[key].dtype)
+            out[key] = np.concatenate([out[key], pad], axis=1)
+            logger.warning("emb_len padded %d -> %d frames", have, want)
+    key = "enc_img.emb_pos"
+    if key in out:
+        want = 1 + model_cfg.max_size_patch ** 2
+        have = out[key].shape[2]
+        if have > want:
+            out[key] = out[key][:, :, :want]
+        elif have < want:
+            pad = np.zeros((1, 1, want - have, out[key].shape[-1]), out[key].dtype)
+            out[key] = np.concatenate([out[key], pad], axis=2)
+            logger.warning("emb_pos padded %d -> %d slots", have, want)
+    return out
+
+
+def remap_swinbert_keys(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """SwinBERT -> VIOLET key remap (ref: model.py:355-386)."""
+    out: dict[str, np.ndarray] = {}
+    dropped = []
+    for key, val in sd.items():
+        if "swin.backbone" in key:
+            out[key.replace("swin.backbone", "enc_img.swin")] = val
+        elif "trans_encoder.bert.encoder" in key:
+            out[key.replace("trans_encoder.bert.encoder", "trsfr")] = val
+        elif "trans_encoder.bert.embeddings" in key:
+            out[key.replace("trans_encoder.bert.embeddings", "enc_txt.emb_txt")] = val
+        elif key.startswith("fc."):
+            out[key.replace("fc.", "enc_img.fc.")] = val
+        elif "trans_encoder.bert.img_embedding" in key:
+            out[key.replace("trans_encoder.bert.img_embedding",
+                            "enc_img.img_embedding")] = val
+        elif key.startswith("trans_encoder.cls."):
+            out[key.replace("trans_encoder.cls.", "fc_mtm.")] = val
+        else:
+            dropped.append(key)
+    if "fc_mtm.predictions.bias" in out:
+        out["fc_mtm.predictions.decoder.bias"] = out["fc_mtm.predictions.bias"]
+    if dropped:
+        logger.info("SwinBERT remap dropped %d keys", len(dropped))
+    return out
+
+
+def report_key_diff(expected: set[str], loaded: set[str]) -> None:
+    """Missing/unexpected reporting (ref: model.py:309-341)."""
+    unexpected = loaded - expected
+    missing = expected - loaded
+    if unexpected:
+        logger.warning("Unexpected checkpoint keys (%d): %s",
+                       len(unexpected), sorted(unexpected)[:20])
+    if missing:
+        logger.warning("Missing checkpoint keys (%d): %s",
+                       len(missing), sorted(missing)[:20])

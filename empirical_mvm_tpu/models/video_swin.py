@@ -1,0 +1,401 @@
+"""Video Swin Transformer 3D, TPU-native (flax.linen, channel-last, static shapes).
+
+Behavioral parity target: the reference backbone at
+``visbackbone/video_swin.py`` (SwinTransformer3D :410, WindowAttention3D :111,
+SwinTransformerBlock3D :175, PatchEmbed3D :373, PatchMerging :266,
+BasicLayer :310), including its VIOLET-specific quirks:
+
+* patch-embed conv kernel ``patch_size=(2,4,4)`` but stride ``(1,4,4)`` with a
+  +1 temporal pad, so there is NO temporal downsampling
+  (ref: visbackbone/video_swin.py:384,398).
+* window size is clamped per stage to the input extent; clamped dims get zero
+  shift (ref: visbackbone/video_swin.py:95-108).
+* the relative-position-bias index is built once for the FULL window and
+  sliced ``[:N, :N]`` when the effective window is smaller
+  (ref: visbackbone/video_swin.py:155).
+* shift masks depend only on static shapes, so here they are computed with
+  numpy at trace time and baked into the program as constants — the lru_cache
+  at visbackbone/video_swin.py:292 becomes a compile-time constant fold.
+
+TPU-first design choices (NOT mirrored from the reference):
+* channel-last ``(B, T, H, W, C)`` layout end to end — matmul-friendly, no
+  NCDHW permutes;
+* the patch-embed conv is lowered to a reshape+matmul so it lands on the MXU
+  as a single GEMM (see ops/patch_embed.py);
+* attention runs in bf16 on the MXU with fp32 softmax accumulation;
+* all shapes static ⇒ one XLA compilation per (T, H, W) config.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from empirical_mvm_tpu.core.config import SwinConfig
+from empirical_mvm_tpu.ops.patch_embed import patch_embed_3d
+
+
+def get_window_size(
+    x_size: Sequence[int],
+    window_size: Sequence[int],
+    shift_size: Sequence[int] | None = None,
+):
+    """Clamp window/shift to the input extent (ref: visbackbone/video_swin.py:95-108)."""
+    use_window = list(window_size)
+    use_shift = list(shift_size) if shift_size is not None else None
+    for i, xs in enumerate(x_size):
+        if xs <= window_size[i]:
+            use_window[i] = xs
+            if use_shift is not None:
+                use_shift[i] = 0
+    if use_shift is None:
+        return tuple(use_window)
+    return tuple(use_window), tuple(use_shift)
+
+
+def window_partition(x: jax.Array, window_size: Sequence[int]) -> jax.Array:
+    """(B, D, H, W, C) -> (B*nW, wd*wh*ww, C) (ref: visbackbone/video_swin.py:84-88)."""
+    b, d, h, w, c = x.shape
+    wd, wh, ww = window_size
+    x = x.reshape(b, d // wd, wd, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, wd * wh * ww, c)
+
+
+def window_reverse(windows: jax.Array, window_size: Sequence[int],
+                   b: int, d: int, h: int, w: int) -> jax.Array:
+    """Inverse of window_partition (ref: visbackbone/video_swin.py:90-93)."""
+    wd, wh, ww = window_size
+    x = windows.reshape(b, d // wd, h // wh, w // ww, wd, wh, ww, -1)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d, h, w, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _relative_position_index(window_size: tuple[int, int, int]) -> np.ndarray:
+    """Static (N, N) int32 index into the rel-pos-bias table for the FULL
+    window (ref: visbackbone/video_swin.py:123-137)."""
+    wd, wh, ww = window_size
+    coords = np.stack(np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww),
+                                  indexing="ij"))                      # (3, wd, wh, ww)
+    coords = coords.reshape(3, -1)                                     # (3, N)
+    rel = coords[:, :, None] - coords[:, None, :]                      # (3, N, N)
+    rel = rel.transpose(1, 2, 0)                                       # (N, N, 3)
+    rel[:, :, 0] += wd - 1
+    rel[:, :, 1] += wh - 1
+    rel[:, :, 2] += ww - 1
+    rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[:, :, 1] *= 2 * ww - 1
+    return rel.sum(-1).astype(np.int32)                                # (N, N)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_attn_mask(dims: tuple[int, int, int],
+                     window_size: tuple[int, int, int],
+                     shift_size: tuple[int, int, int]) -> np.ndarray:
+    """Static (nW, N, N) additive mask for shifted windows
+    (ref: visbackbone/video_swin.py:292-307). Pure numpy — becomes an XLA
+    constant, replacing the reference's device-side lru-cached tensor."""
+    dp, hp, wp = dims
+    img_mask = np.zeros((1, dp, hp, wp, 1), dtype=np.float32)
+    cnt = 0
+    for d in (slice(-window_size[0]), slice(-window_size[0], -shift_size[0]),
+              slice(-shift_size[0], None)):
+        for h in (slice(-window_size[1]), slice(-window_size[1], -shift_size[1]),
+                  slice(-shift_size[1], None)):
+            for w in (slice(-window_size[2]), slice(-window_size[2], -shift_size[2]),
+                      slice(-shift_size[2], None)):
+                img_mask[:, d, h, w, :] = cnt
+                cnt += 1
+    wd, wh, ww = window_size
+    n = wd * wh * ww
+    m = img_mask.reshape(1, dp // wd, wd, hp // wh, wh, wp // ww, ww, 1)
+    m = m.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, n)             # (nW, N)
+    attn_mask = m[:, None, :] - m[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)    # (nW, N, N)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (ref: visbackbone/video_swin.py:65-81)."""
+
+    hidden_features: int
+    out_features: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class WindowAttention3D(nn.Module):
+    """3D window attention with relative position bias
+    (ref: visbackbone/video_swin.py:111-172).
+
+    The bias table is parameterized for the FULL configured window; the actual
+    (possibly clamped) window slices the index ``[:N, :N]`` exactly like the
+    reference (visbackbone/video_swin.py:155). Softmax runs in fp32; the two
+    GEMMs run in the module dtype (bf16 on TPU) on the MXU.
+    """
+
+    dim: int
+    window_size: tuple[int, int, int]   # FULL configured window
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: np.ndarray | None = None,
+                 deterministic: bool = True):
+        b_, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+
+        full_n = self.window_size[0] * self.window_size[1] * self.window_size[2]
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1)
+             * (2 * self.window_size[2] - 1), self.num_heads),
+        )
+        rel_index = _relative_position_index(tuple(self.window_size))[:n, :n]
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)                     # (3, B_, nH, N, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)   # (B_, nH, N, N)
+
+        bias = table[rel_index.reshape(-1)].reshape(n, n, -1)   # (N, N, nH)
+        bias = bias.transpose(2, 0, 1).astype(jnp.float32)      # (nH, N, N)
+        attn = attn + bias[None]
+
+        if mask is not None:                                    # (nW, N, N) static
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
+            attn = attn + jnp.asarray(mask, jnp.float32)[None, :, None]
+            attn = attn.reshape(-1, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        x = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        x = x.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
+        x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+        return x
+
+
+def drop_path(x: jax.Array, rate: float, deterministic: bool,
+              rng: jax.Array | None) -> jax.Array:
+    """Stochastic depth (ref: visbackbone/video_swin.py:46-63)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class SwinTransformerBlock3D(nn.Module):
+    """One Swin block: windowed MSA + MLP with cyclic shift
+    (ref: visbackbone/video_swin.py:175-263)."""
+
+    dim: int
+    num_heads: int
+    window_size: tuple[int, int, int] = (2, 7, 7)
+    shift_size: tuple[int, int, int] = (0, 0, 0)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask: np.ndarray | None,
+                 deterministic: bool = True):
+        b, d, h, w, c = x.shape
+        window_size, shift_size = get_window_size(
+            (d, h, w), self.window_size, self.shift_size)
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+
+        # pad to window multiples (ref: visbackbone/video_swin.py:213-218)
+        pad_d = (window_size[0] - d % window_size[0]) % window_size[0]
+        pad_b = (window_size[1] - h % window_size[1]) % window_size[1]
+        pad_r = (window_size[2] - w % window_size[2]) % window_size[2]
+        x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_b), (0, pad_r), (0, 0)))
+        _, dp, hp, wp, _ = x.shape
+
+        shifted = any(s > 0 for s in shift_size)
+        if shifted:
+            x = jnp.roll(x, shift=(-shift_size[0], -shift_size[1], -shift_size[2]),
+                         axis=(1, 2, 3))
+            mask = attn_mask
+        else:
+            mask = None
+
+        x_windows = window_partition(x, window_size)
+        attn_windows = WindowAttention3D(
+            dim=self.dim, window_size=self.window_size, num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            name="attn")(x_windows, mask=mask, deterministic=deterministic)
+        x = window_reverse(attn_windows, window_size, b, dp, hp, wp)
+
+        if shifted:
+            x = jnp.roll(x, shift=shift_size, axis=(1, 2, 3))
+        if pad_d > 0 or pad_b > 0 or pad_r > 0:
+            x = x[:, :d, :h, :w, :]
+
+        dp_rng = (self.make_rng("dropout")
+                  if (not deterministic and self.drop_path_rate > 0) else None)
+        x = shortcut + drop_path(x, self.drop_path_rate, deterministic, dp_rng)
+
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
+                out_features=self.dim, dropout_rate=self.drop,
+                dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
+        dp_rng2 = (self.make_rng("dropout")
+                   if (not deterministic and self.drop_path_rate > 0) else None)
+        return x + drop_path(y, self.drop_path_rate, deterministic, dp_rng2)
+
+
+class PatchMerging(nn.Module):
+    """2x2 spatial merge between stages (ref: visbackbone/video_swin.py:266-289)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        if h % 2 == 1 or w % 2 == 1:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, :, 0::2, 0::2, :]
+        x1 = x[:, :, 1::2, 0::2, :]
+        x2 = x[:, :, 0::2, 1::2, :]
+        x3 = x[:, :, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                     name="reduction")(x)
+        return x
+
+
+class BasicLayer(nn.Module):
+    """One Swin stage (ref: visbackbone/video_swin.py:310-370)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: tuple[int, int, int] = (1, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rates: tuple[float, ...] = ()
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, d, h, w, c = x.shape
+        window_size, shift_size = get_window_size(
+            (d, h, w), self.window_size,
+            tuple(s // 2 for s in self.window_size))
+        dp = int(np.ceil(d / window_size[0])) * window_size[0]
+        hp = int(np.ceil(h / window_size[1])) * window_size[1]
+        wp = int(np.ceil(w / window_size[2])) * window_size[2]
+        attn_mask = _shift_attn_mask((dp, hp, wp), window_size, shift_size)
+
+        for i in range(self.depth):
+            rate = (self.drop_path_rates[i]
+                    if i < len(self.drop_path_rates) else 0.0)
+            x = SwinTransformerBlock3D(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=((0, 0, 0) if i % 2 == 0
+                            else tuple(s // 2 for s in self.window_size)),
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, drop=self.drop,
+                attn_drop=self.attn_drop, drop_path_rate=rate,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )(x, attn_mask, deterministic=deterministic)
+
+        if self.downsample:
+            x = PatchMerging(dim=self.dim, dtype=self.dtype, name="downsample")(x)
+        return x
+
+
+class SwinTransformer3D(nn.Module):
+    """Full backbone (ref: visbackbone/video_swin.py:410-482).
+
+    Input  ``(B, T, H, W, 3)`` channel-last, ImageNet-normalized.
+    Output ``(B, T, H/32, W/32, num_features)`` — the final LayerNorm is
+    applied channel-last exactly like the reference's permuted norm
+    (visbackbone/video_swin.py:478-480).
+    """
+
+    config: SwinConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        x = patch_embed_3d(
+            x,
+            kernel=self.param("patch_embed_proj_kernel",
+                              nn.initializers.lecun_normal(),
+                              (*cfg.patch_size, x.shape[-1], cfg.embed_dim)),
+            bias=self.param("patch_embed_proj_bias", nn.initializers.zeros,
+                            (cfg.embed_dim,)),
+            patch_size=cfg.patch_size,
+            dtype=self.dtype,
+        )
+        if cfg.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_embed_norm")(x)
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
+        for i, depth in enumerate(cfg.depths):
+            start = sum(cfg.depths[:i])
+            x = BasicLayer(
+                dim=int(cfg.embed_dim * 2 ** i),
+                depth=depth,
+                num_heads=cfg.num_heads[i],
+                window_size=cfg.window_size,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                qk_scale=cfg.qk_scale,
+                drop=cfg.drop_rate,
+                attn_drop=cfg.attn_drop_rate,
+                drop_path_rates=tuple(dpr[start:start + depth]),
+                downsample=(i < len(cfg.depths) - 1),
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, deterministic=deterministic)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x

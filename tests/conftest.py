@@ -1,0 +1,38 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+The reference has no tests (SURVEY.md §4); this suite is ours. Multi-device
+code paths are exercised without TPUs via
+``--xla_force_host_platform_device_count`` (SURVEY.md §4 implication note).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import sys
+
+import jax
+import pytest
+
+# The axon sitecustomize force-registers the TPU backend at interpreter
+# startup (JAX_PLATFORMS=axon in the ambient env), so env vars alone don't
+# stick — use the config API to pin tests to the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+def has_reference() -> bool:
+    return REFERENCE.is_dir()
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not mounted")
