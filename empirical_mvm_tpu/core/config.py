@@ -115,9 +115,12 @@ class ModelConfig:
     size_vocab: int = -1                # open-ended QA answer vocab
     fusion: BertConfig = field(default_factory=BertConfig.base_uncased)
     text: BertConfig = field(default_factory=BertConfig.base_uncased)
+    swin_custom: SwinConfig | None = None   # test/research override
 
     @property
     def swin(self) -> SwinConfig:
+        if self.swin_custom is not None:
+            return self.swin_custom
         return SwinConfig.by_name(self.vis_backbone_size)
 
     @property

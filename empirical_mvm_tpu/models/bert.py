@@ -1,0 +1,174 @@
+"""BERT blocks for the text encoder, cross-modal fusion encoder, and MLM head.
+
+The reference delegates these to HuggingFace ``transformers``
+(ref: model.py:85 ``AutoModel.from_pretrained`` for EncTxt,
+model.py:124-131 ``AutoModelForMaskedLM`` whose ``.bert.encoder`` becomes the
+fusion transformer, main_pretrain.py:148-150 whose ``.cls`` becomes fc_mtm).
+Here they are hand-rolled flax modules so the whole model is one XLA program:
+bf16 GEMMs on the MXU, fp32 softmax/LayerNorm, no HF runtime dependency.
+
+Parameter layout mirrors HF naming closely enough that
+``models/torch_import.py`` maps released checkpoints mechanically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from empirical_mvm_tpu.core.config import BertConfig
+
+# HF BERT LayerNorm epsilon (bert-base-uncased config)
+_EPS = 1e-12
+
+
+def extended_attention_mask(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """(B, L) or (B, Lq, Lk) 0/1 mask -> additive (B, 1, Lq, Lk) bias.
+
+    Mirrors HF ``get_extended_attention_mask`` used at ref model.py:211:
+    allowed positions 0, masked positions a large negative value.
+    """
+    if mask.ndim == 2:
+        m = mask[:, None, None, :]
+    elif mask.ndim == 3:
+        m = mask[:, None, :, :]
+    else:
+        raise ValueError(f"mask ndim {mask.ndim}")
+    return ((1.0 - m.astype(jnp.float32)) * jnp.finfo(jnp.float32).min
+            ).astype(dtype)
+
+
+class BertEmbeddings(nn.Module):
+    """Word + position + token-type embeddings (HF BertEmbeddings)."""
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, position_ids=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        b, l = input_ids.shape
+        if position_ids is None:
+            position_ids = jnp.arange(l, dtype=jnp.int32)[None, :]
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        we = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                      name="word_embeddings")(input_ids)
+        pe = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                      name="position_embeddings")(position_ids)
+        te = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                      name="token_type_embeddings")(token_type_ids)
+        x = we + pe + te
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="LayerNorm")(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x.astype(self.dtype)
+
+
+class BertSelfAttention(nn.Module):
+    """Multi-head self-attention + output projection + residual LayerNorm
+    (HF BertAttention). Softmax in fp32; GEMMs in module dtype."""
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic: bool = True,
+                 output_attentions: bool = False):
+        cfg = self.config
+        b, l, d = x.shape
+        nh = cfg.num_attention_heads
+        hd = d // nh
+
+        q = nn.Dense(d, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="key")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="value")(x)
+        q = q.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) / np.sqrt(hd)
+        if attn_bias is not None:
+            attn = attn + attn_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(attn, axis=-1)
+        probs_c = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            probs.astype(self.dtype), deterministic=deterministic)
+
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_c, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+        out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                           name="LayerNorm")(out + x)
+        if output_attentions:
+            return out, probs
+        return out, None
+
+
+class BertLayer(nn.Module):
+    """One transformer layer (HF BertLayer)."""
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic: bool = True,
+                 output_attentions: bool = False):
+        cfg = self.config
+        x, probs = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(
+            x, attn_bias, deterministic, output_attentions)
+        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                     name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(h)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="LayerNorm")(h + x)
+        return x, probs
+
+
+class BertEncoder(nn.Module):
+    """Stack of BertLayers (HF BertEncoder) — the reference's text encoder
+    stack (model.py:91) and the cross-modal fusion ``trsfr`` (model.py:130)."""
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None, deterministic: bool = True,
+                 output_attentions: bool = False):
+        all_probs = []
+        for i in range(self.config.num_hidden_layers):
+            x, probs = BertLayer(self.config, dtype=self.dtype,
+                                 name=f"layer_{i}")(
+                x, attn_bias, deterministic, output_attentions)
+            if output_attentions:
+                all_probs.append(probs)
+        if output_attentions:
+            return x, all_probs
+        return x, None
+
+
+class BertMLMHead(nn.Module):
+    """HF BertOnlyMLMHead: transform dense + GELU + LayerNorm + vocab decoder.
+
+    Used for MTM / SMTM / generative-MC / fill-in-blank heads
+    (ref: main_pretrain.py:148-150, main_qamc_tsv_mlm_gen_ans_idx.py:99)."""
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="transform")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="LayerNorm")(x)
+        x = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="decoder")(x)
+        return x

@@ -1,0 +1,254 @@
+"""VIOLET pretraining model: MTM + VTM + MVM heads and decoders.
+
+Parity target: ``VIOLET_Pretrain`` (ref: main_pretrain.py:140-267) — VTM
+score head, BERT MLM head, and the per-target MVM decoders (1x1 conv +
+PixelShuffle in the reference, lowered here to Dense + reshape which is the
+same linear map and free on TPU).
+
+TPU-first deviations:
+* the in-batch VTM negative construction (a Python loop over B at ref
+  main_pretrain.py:243-258) is vectorized: per-row random permutations pick
+  O-1 negative captions, and the B*O pair batch runs as one fused go_cross;
+* MVM decoding happens on the (B, T, h, w, D) token grid with reshapes in
+  place of PixelShuffle (ref: main_pretrain.py:178-209).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from empirical_mvm_tpu.models.bert import BertMLMHead
+from empirical_mvm_tpu.models.violet import ScoreHead, VioletBase, joint_attn_bias
+
+
+def pixel_shuffle_tokens(x: jax.Array, r: int, out_ch: int) -> jax.Array:
+    """(B, T, h, w, out_ch*r*r) -> (B, T, h*r, w*r, out_ch), replicating the
+    channel-major layout of torch PixelShuffle (ref: main_pretrain.py:178)."""
+    b, t, h, w, _ = x.shape
+    x = x.reshape(b, t, h, w, out_ch, r, r)        # (c, i, j) channel-major
+    x = x.transpose(0, 1, 2, 5, 3, 6, 4)           # b t h i w j c
+    return x.reshape(b, t, h * r, w * r, out_ch)
+
+
+class VioletPretrain(VioletBase):
+    """(ref: main_pretrain.py:140-267)"""
+
+    mvm_target: tuple[str, ...] = ("pixel",)
+    pretrain_tasks: tuple[str, ...] = ("mtm", "vtm", "mvm")
+    pretrain_masks: tuple[str, ...] = ("bm", "rm")
+    p_mask: float = 0.15
+    temp: float = 0.05            # vtm temperature (ref: main_pretrain.py:260)
+    num_options: int = 4          # 1 positive + 3 in-batch negatives (_O)
+    size_vq: int = 8192
+    vq_patch: int = 8             # dVAE patch size (ref: dalle/__init__.py:56-58)
+    vq_on_the_fly: bool = False   # True: dVAE teacher extracts tokens on device
+    feat_target_size: int = 1024  # regression width for 2d/3d_feature targets
+    special_token_ids: tuple[int, ...] = (101, 102, 0)  # cls/sep/pad (bert-base)
+    mask_token_id: int = 103
+
+    def setup_heads(self):
+        d = self.config.hidden_size
+        ps = self.config.size_patch
+        self.fc = ScoreHead(hidden_size=d, dtype=self.dtype, name="fc")
+        self.fc_mtm = BertMLMHead(self.config.fusion, dtype=self.dtype,
+                                  name="fc_mtm")
+        if "pixel" in self.mvm_target:
+            self.decoder_pixel = nn.Dense(ps * ps * 3, dtype=self.dtype,
+                                          name="decoder_pixel")
+        if "hog" in self.mvm_target:
+            self.decoder_hog = nn.Dense(ps * ps, dtype=self.dtype,
+                                        name="decoder_hog")
+        if "optical_flow" in self.mvm_target:
+            self.decoder_flow = nn.Dense(ps * ps * 2, dtype=self.dtype,
+                                         name="decoder_flow")
+        if "depth" in self.mvm_target:
+            self.decoder_depth = nn.Dense(ps * ps, dtype=self.dtype,
+                                          name="decoder_depth")
+        if "vq" in self.mvm_target:
+            if self.vq_on_the_fly:
+                up = ps // self.vq_patch
+                # conv1x1 D->2D + PixelShuffle(up) => per-cell channels 2D/up^2
+                self.decoder_vq = nn.Dense(2 * d, dtype=self.dtype,
+                                           name="decoder_vq")
+                self.vq_pred_channels = 2 * d // (up * up)
+            else:
+                # pre-extracted tokens: classify fused tokens directly
+                # (ref: main_pretrain.py:203-209 dalle=None branch)
+                self.decoder_vq = None
+                self.vq_pred_channels = d
+            self.fc_mvm = ScoreHead(hidden_size=self.vq_pred_channels,
+                                    out_size=self.size_vq, dtype=self.dtype,
+                                    name="fc_mvm")
+        if "3d_feature" in self.mvm_target or "2d_feature" in self.mvm_target:
+            self.fc_mvm = ScoreHead(hidden_size=d,
+                                    out_size=self.feat_target_size,
+                                    dtype=self.dtype, name="fc_mvm")
+
+    # ---- helpers over the fused sequence ----
+
+    def _split_tokens(self, out, t, h, w):
+        lv = t * (1 + h * w)
+        return out[:, :lv], out[:, lv:]
+
+    def patch_tokens(self, out_mvm, t, h, w):
+        """Drop the per-frame CLS, return the (B, T, h, w, D) grid
+        (ref: main_pretrain.py:391,425 non_cls_out_mvm)."""
+        b, lv, d = out_mvm.shape
+        l = lv // t
+        x = out_mvm.reshape(b, t, l, d)[:, :, 1:, :]
+        return x.reshape(b, t, h, w, d)
+
+    def decode_pixel(self, grid):
+        ps = self.config.size_patch
+        return pixel_shuffle_tokens(self.decoder_pixel(grid), ps, 3)
+
+    def decode_hog(self, grid):
+        ps = self.config.size_patch
+        return pixel_shuffle_tokens(self.decoder_hog(grid), ps, 1)[..., 0]
+
+    def decode_depth(self, grid):
+        ps = self.config.size_patch
+        return pixel_shuffle_tokens(self.decoder_depth(grid), ps, 1)[..., 0]
+
+    def decode_flow(self, grid):
+        """Adjacent-frame token concat then decode to 2-channel flow
+        (ref: main_pretrain.py:391-399)."""
+        ps = self.config.size_patch
+        pair = jnp.concatenate([grid[:, :-1], grid[:, 1:]], axis=-1)
+        return pixel_shuffle_tokens(self.decoder_flow(pair), ps, 2)
+
+    def decode_vq_logits(self, grid):
+        """(ref: main_pretrain.py:492-500): 1x1 conv to 2D channels, shuffle
+        to the dVAE cell grid, classify 8192 ways."""
+        ps = self.config.size_patch
+        up = ps // self.vq_patch
+        x = self.decoder_vq(grid)                                  # (B,T,h,w,2D)
+        x = pixel_shuffle_tokens(x, up, self.vq_pred_channels)     # (B,T,hv,wv,C)
+        return self.fc_mvm(x)                                      # (...,8192)
+
+    def decode_feature(self, out_mvm, t, h, w):
+        """(ref: main_pretrain.py:513-514)"""
+        grid = self.patch_tokens(out_mvm, t, h, w)
+        return self.fc_mvm(grid)
+
+    def get_att(self, img, txt, mask, deterministic: bool = True):
+        """Attention rollout for 'am' masking (ref: main_pretrain.py:211-215):
+        mean over heads per layer, summed over layers and query positions."""
+        fi, mi, ft, mt = self.go_feat(img, txt, mask,
+                                      deterministic=deterministic)
+        _, attns = self.go_cross(fi, mi, ft, mt, output_attentions=True,
+                                 deterministic=deterministic)
+        att = jnp.stack([a.mean(axis=1) for a in attns])  # (L, B, Q, K)
+        return att.sum(axis=(0, 2))                       # (B, K)
+
+    def __call__(self, img, txt, mask, rng: Optional[jax.Array] = None,
+                 deterministic: bool = True):
+        """Forward for one pretrain step (ref: main_pretrain.py:226-267).
+        Returns out_mtm logits, raw out_mvm tokens, vtm logits, and smtm
+        logits if enabled. ``rng`` drives the in-batch negative sampling."""
+        b, t = img.shape[:2]
+        h = w = img.shape[2] // self.config.size_patch
+        o = min(b, self.num_options)
+
+        fi, mi, ft, mt = self.go_feat(img, txt, mask,
+                                      deterministic=deterministic)
+        out, _ = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
+        out_mvm, out_txt = self._split_tokens(out, t, h, w)
+        out_mtm = self.fc_mtm(out_txt)
+
+        out_smtm = None
+        if "smtm" in self.pretrain_tasks:
+            s_out, _ = self.go_cross(fi, mi, ft, mt, attn_mask_type="seq2seq",
+                                     deterministic=deterministic)
+            _, s_txt = self._split_tokens(s_out, t, h, w)
+            out_smtm = self.fc_mtm(s_txt)
+
+        # ---- VTM with in-batch negatives, vectorized ----
+        # (ref: main_pretrain.py:243-260). Row i pairs video i with caption i
+        # (positive) and O-1 random other captions.
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        scores = jax.random.uniform(rng, (b, b))
+        scores = scores - jnp.eye(b) * 2.0                    # never self
+        _, neg_idx = jax.lax.top_k(scores, o - 1)             # (B, O-1)
+        pair_idx = jnp.concatenate(
+            [jnp.arange(b)[:, None], neg_idx], axis=1)        # (B, O)
+
+        rep = lambda x: jnp.repeat(x, o, axis=0)              # video side
+        gather = lambda x: x[pair_idx.reshape(-1)]            # caption side
+        p_out, _ = self.go_cross(rep(fi), rep(mi), gather(ft), gather(mt),
+                                 deterministic=deterministic)
+        cls_pos = t * (1 + h * w)                              # first text token
+        out_vtm = self.fc(p_out[:, cls_pos, :],
+                          deterministic=deterministic)
+        out_vtm = out_vtm.reshape(b, o)
+
+        return {"out_mtm": out_mtm, "out_mvm": out_mvm, "out_vtm": out_vtm,
+                "out_smtm": out_smtm,
+                "ans_vtm": jnp.zeros((b,), jnp.int32)}
+
+    def losses(self, img, txt, mask, vq=None, hog=None,
+               deterministic: bool = False):
+        """One full pretrain step: on-device masking + forward + all losses
+        (ref: Agent_Pretrain.masking at main_pretrain.py:276-372,
+        step at :555-569, calc_mvm_loss at :374-553).
+
+        ``img`` is the UNMASKED normalized clip; masking happens here, inside
+        the jitted program, so the input pipeline ships raw clips only.
+        """
+        from empirical_mvm_tpu.data.masking import apply_masking
+        from empirical_mvm_tpu.train.losses import (
+            cross_entropy_ignore, masked_l1)
+
+        k_mask = self.make_rng("mask")
+        k_neg = self.make_rng("mask")
+
+        att_scores = None
+        if "am" in self.pretrain_masks:
+            # extra no-grad forward on the unmasked batch (ref: :321-323)
+            att_scores = jax.lax.stop_gradient(
+                self.get_att(img, txt, mask, deterministic=True))
+
+        mb = apply_masking(
+            k_mask, img, txt, vq,
+            special_token_ids=self.special_token_ids,
+            mask_token_id=self.mask_token_id,
+            patch_size=self.config.size_patch,
+            p_mask=self.p_mask, mask_types=self.pretrain_masks,
+            att_scores=att_scores)
+
+        out = self(mb.img, mb.txt, mask, rng=k_neg,
+                   deterministic=deterministic)
+        t = img.shape[1]
+        h = w = img.shape[2] // self.config.size_patch
+
+        ls = {}
+        ls["mtm"] = cross_entropy_ignore(out["out_mtm"], mb.ans_mtm)
+        ls["vtm"] = cross_entropy_ignore(
+            out["out_vtm"] / self.temp, out["ans_vtm"])
+        if out["out_smtm"] is not None:
+            ls["smtm"] = cross_entropy_ignore(out["out_smtm"], mb.ans_mtm)
+
+        if "mvm" in self.pretrain_tasks:
+            grid = self.patch_tokens(out["out_mvm"], t, h, w)
+            if "pixel" in self.mvm_target:
+                pred = self.decode_pixel(grid)
+                ls["mvm_pixel"] = masked_l1(pred, img, mb.mvm_mask,
+                                            channel_div=3.0)
+            if "hog" in self.mvm_target and hog is not None:
+                pred = self.decode_hog(grid)
+                ls["mvm_hog"] = masked_l1(pred, hog, mb.mvm_mask[..., 0])
+            if "vq" in self.mvm_target and not self.vq_on_the_fly:
+                logits = self.fc_mvm(out["out_mvm"],
+                                     deterministic=deterministic)
+                ls["mvm_vq"] = cross_entropy_ignore(logits, mb.ans_mvm)
+
+        total = jnp.asarray(0.0, jnp.float32)
+        for v in ls.values():
+            total = total + v
+        ls["total"] = total
+        return ls

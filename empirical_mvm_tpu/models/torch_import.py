@@ -138,6 +138,73 @@ def bert_mlm_head_params_from_torch(sd: Mapping[str, np.ndarray],
     return tree
 
 
+def score_head_params_from_torch(sd: Mapping[str, np.ndarray],
+                                 prefix: str) -> Params:
+    """torch ``nn.Sequential(Dropout, Linear, ReLU, Linear)`` score head
+    (ref: main_pretrain.py:146) -> our ScoreHead {fc1, fc2}."""
+    tree: Params = {}
+    _linear(tree, "fc1", sd, f"{prefix}1")
+    _linear(tree, "fc2", sd, f"{prefix}3")
+    return tree
+
+
+def violet_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    model_cfg,
+    heads: Mapping[str, str] | None = None,
+) -> Params:
+    """Convert a full reference VIOLET checkpoint into the param tree of
+    :class:`empirical_mvm_tpu.models.violet.VioletBase` (or a task subclass).
+
+    ``heads`` maps extra flax head names to their torch key prefix kind:
+      {"fc": "score_head", "fc_mtm": "mlm_head", "fc_qaoe": "score_head", ...}
+
+    Implements the lenient-load semantics of ref model.py:295-353: keys are
+    intersected, pos-embs sliced to the configured sizes, and the rest
+    reported via :func:`report_key_diff`.
+    """
+    sd = _slice_pos_embs(dict(sd), model_cfg)
+    tree: Params = {}
+
+    # enc_img
+    swin = swin3d_params_from_torch(sd, model_cfg.swin.depths,
+                                    prefix="enc_img.swin.")
+    tree["enc_img"] = {"swin": swin}
+    if "enc_img.fc.weight" in sd:
+        _linear(tree, "enc_img.fc", sd, "enc_img.fc")
+    for k in ("emb_cls", "emb_pos", "emb_len", "emb_odr"):
+        if f"enc_img.{k}" in sd:
+            tree["enc_img"][k] = sd[f"enc_img.{k}"]
+    _layernorm(tree, "enc_img.norm", sd, "enc_img.norm")
+
+    # enc_txt
+    tree["enc_txt"] = {
+        "emb_txt": bert_embeddings_params_from_torch(sd, "enc_txt.emb_txt.")}
+    if any(k.startswith("enc_txt.txt_trsfr.") for k in sd):
+        tree["enc_txt"]["txt_trsfr"] = bert_encoder_params_from_torch(
+            sd, "enc_txt.txt_trsfr.", model_cfg.text.num_hidden_layers)
+
+    # fusion transformer
+    tree["trsfr"] = bert_encoder_params_from_torch(
+        sd, "trsfr.", model_cfg.fusion.num_hidden_layers)
+
+    # task heads
+    for name, kind in (heads or {}).items():
+        torch_prefix = f"{name}."
+        if not any(k.startswith(torch_prefix) for k in sd):
+            logger.warning("head %s not found in checkpoint; left at init", name)
+            continue
+        if kind == "score_head":
+            tree[name] = score_head_params_from_torch(sd, torch_prefix)
+        elif kind == "mlm_head":
+            tree[name] = bert_mlm_head_params_from_torch(sd, torch_prefix)
+        elif kind == "linear":
+            _linear(tree, name, sd, f"{name}")
+        else:
+            raise ValueError(f"unknown head kind {kind}")
+    return tree
+
+
 def _slice_pos_embs(sd: dict[str, np.ndarray], model_cfg) -> dict[str, np.ndarray]:
     """Temporal/spatial pos-emb slicing on size mismatch
     (ref: model.py:342-353)."""

@@ -1,0 +1,98 @@
+"""Device mesh + sharding rules — the TPU-native replacement for the
+reference's NCCL data parallelism.
+
+The reference supports exactly one parallelism strategy: single-node data
+parallelism via DeepSpeed ZeRO-1 or DDP (ref: agent.py:195-201,
+utils/dist.py:20-75; SURVEY.md §2.3). Here that maps to a 1-D ``data`` mesh
+over all chips: the batch is sharded on ``data``, params are replicated, and
+XLA inserts the gradient all-reduce over ICI when the jitted train step
+requests replicated gradients — no hand-written collectives.
+
+``fsdp_rules`` additionally offers ZeRO-3-style parameter sharding (a strict
+upgrade over the reference's ZeRO-1) for large configs: parameters shard
+their largest dimension over ``data`` and XLA all-gathers them just-in-time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None,
+              axis_name: str = "data") -> Mesh:
+    """1-D data mesh over all (or the first n) devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    """Place a host batch onto the mesh, sharded on its leading dim."""
+    sh = batch_sharding(mesh, axis_name)
+    rep = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, rep)
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch)
+
+
+def param_shardings(mesh: Mesh, params: Any, fsdp: bool = False,
+                    axis_name: str = "data",
+                    min_size_to_shard: int = 2 ** 18) -> Any:
+    """Sharding tree for params: replicated (reference-equivalent DDP) or
+    ZeRO-3-style FSDP (shard the largest divisible dim over ``data``)."""
+    n = mesh.shape[axis_name]
+
+    def rule(x):
+        if not fsdp or x.size < min_size_to_shard:
+            return NamedSharding(mesh, P())
+        # shard the largest dim divisible by the mesh size
+        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+        for d in dims:
+            if x.shape[d] % n == 0:
+                spec = [None] * x.ndim
+                spec[d] = axis_name
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def distributed_init() -> None:
+    """Multi-host init (ref: utils/dist.py:20-75 NCCL init). On TPU pods the
+    coordinator comes from the environment; single-host is a no-op."""
+    import os
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """(ref: utils/dist.py:107-111)"""
+    return jax.process_index() == 0

@@ -1,0 +1,149 @@
+"""Tests for the TSV storage layer and the vectorized masking engine."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from empirical_mvm_tpu.data.masking import apply_masking
+from empirical_mvm_tpu.data.tsv import (
+    CompositeTSVFile, TSVFile, generate_lineidx, tsv_reader, tsv_writer)
+
+
+def test_tsv_roundtrip(tmp_path):
+    path = str(tmp_path / "a.tsv")
+    rows = [["key%d" % i, "meta", "payload%d" % i] for i in range(10)]
+    tsv_writer(rows, path)
+    f = TSVFile(path)
+    assert f.num_rows() == 10
+    assert f[3] == ["key3", "meta", "payload3"]
+    assert f.get_key(7) == "key7"
+    # random access order doesn't matter
+    assert f[9][2] == "payload9" and f[0][2] == "payload0"
+
+
+def test_lineidx_generation(tmp_path):
+    path = str(tmp_path / "b.tsv")
+    with open(path, "w") as f:
+        f.write("k0\tv0\nk1\tv1\n")
+    f = TSVFile(path, generate_lineidx_if_missing=True)
+    assert f.num_rows() == 2 and f[1] == ["k1", "v1"]
+
+
+def test_composite_tsv(tmp_path):
+    for s in range(2):
+        tsv_writer([[f"s{s}r{i}", str(i)] for i in range(3)],
+                   str(tmp_path / f"shard{s}.tsv"))
+    with open(tmp_path / "shards.txt", "w") as f:
+        f.write("shard0.tsv\nshard1.tsv\n")
+    with open(tmp_path / "seq.tsv", "w") as f:
+        # (shard, row) pairs interleaved
+        f.write("0\t0\n1\t2\n0\t1\n1\t0\n")
+    c = CompositeTSVFile("shards.txt", "seq.tsv", root=str(tmp_path))
+    assert len(c) == 4
+    assert c[1] == ["s1r2", "2"]
+    assert c.get_composite_source_idx() == [0, 1, 0, 1]
+
+
+def _mask_inputs(b=4, t=2, hw=64, x=12, vq=True):
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(b, t, hw, hw, 3).astype(np.float32))
+    txt = jnp.asarray(rs.randint(5, 100, (b, x)).astype(np.int32))
+    txt = txt.at[:, 0].set(101).at[:, -1].set(102)  # cls/sep
+    h = w = hw // 32
+    lv = t * (1 + h * w)
+    if vq:
+        vq_arr = rs.randint(0, 8192, (b, lv)).astype(np.int32)
+        vq_arr[:, ::1 + h * w] = -1  # CLS slots
+        vq_arr = jnp.asarray(vq_arr)
+    else:
+        vq_arr = None
+    return img, txt, vq_arr, h, w
+
+
+@pytest.mark.parametrize("mask_types", [("rm",), ("bm",), ("bm", "rm")])
+def test_masking_shapes_and_consistency(mask_types):
+    img, txt, vq, h, w = _mask_inputs()
+    out = apply_masking(jax.random.PRNGKey(0), img, txt, vq,
+                        special_token_ids=(101, 102, 0), mask_token_id=103,
+                        mask_types=mask_types)
+    b, t = img.shape[:2]
+    assert out.cov.shape == (b, t, h, w)
+    assert out.mvm_mask.shape == img.shape[:4] + (1,)
+    # masked pixels are exactly zero where cover=1
+    cover = np.asarray(out.mvm_mask)[..., 0]
+    assert np.all(np.asarray(out.img)[cover > 0] == 0)
+    # unmasked pixels unchanged
+    assert np.allclose(np.asarray(out.img)[cover == 0],
+                       np.asarray(img)[cover == 0])
+    # text: answers only where [MASK] substituted, originals preserved
+    ans = np.asarray(out.ans_mtm)
+    new_txt = np.asarray(out.txt)
+    sel = ans != -1
+    assert np.all(new_txt[sel] == 103)
+    assert np.all(ans[sel] == np.asarray(txt)[sel])
+    assert np.all(new_txt[~sel] == np.asarray(txt)[~sel])
+    # special tokens never masked
+    assert not np.any(sel[:, 0]) and not np.any(sel[:, -1])
+    # vq answers appear exactly at covered patches (CLS slots always -1)
+    ans_mvm = np.asarray(out.ans_mvm)
+    lv_stride = 1 + h * w
+    assert np.all(ans_mvm[:, ::lv_stride] == -1)
+    cov_tok = np.asarray(out.cov).reshape(b, t, h * w)
+    patch_ans = ans_mvm.reshape(b, t, lv_stride)[:, :, 1:]
+    assert np.all((patch_ans != -1) == (cov_tok > 0))
+
+
+def test_masking_rates_roughly_match_p():
+    img, txt, vq, h, w = _mask_inputs(b=64, x=32)
+    out = apply_masking(jax.random.PRNGKey(1), img, txt, vq,
+                        special_token_ids=(101, 102, 0), mask_token_id=103,
+                        mask_types=("rm",), p_mask=0.15)
+    rate_txt = float((np.asarray(out.ans_mtm) != -1).mean())
+    rate_vid = float(np.asarray(out.cov).mean())
+    assert 0.08 < rate_txt < 0.22
+    assert 0.08 < rate_vid < 0.22
+
+
+def test_masking_p_zero_is_identity():
+    img, txt, vq, h, w = _mask_inputs()
+    out = apply_masking(jax.random.PRNGKey(2), img, txt, vq,
+                        special_token_ids=(101, 102, 0), mask_token_id=103,
+                        p_mask=0.0)
+    assert np.allclose(np.asarray(out.img), np.asarray(img))
+    assert np.all(np.asarray(out.txt) == np.asarray(txt))
+    assert np.all(np.asarray(out.ans_mtm) == -1)
+    assert np.all(np.asarray(out.ans_mvm) == -1)
+
+
+def test_bm_blocks_are_contiguous():
+    img, txt, vq, h, w = _mask_inputs(b=2, t=4, hw=224)
+    out = apply_masking(jax.random.PRNGKey(3), img, txt, None,
+                        special_token_ids=(101, 102, 0), mask_token_id=103,
+                        mask_types=("bm",))
+    cov = np.asarray(out.cov)
+    assert cov.max() > 0  # at least one tube landed
+    # jit-compatibility: must run under jit (train step hosts it)
+    jitted = jax.jit(lambda k: apply_masking(
+        k, img, txt, None, special_token_ids=(101, 102, 0),
+        mask_token_id=103, mask_types=("bm", "rm")))
+    out2 = jitted(jax.random.PRNGKey(4))
+    assert out2.cov.shape == cov.shape
+
+
+def test_am_masking_follows_scores():
+    img, txt, vq, h, w = _mask_inputs(b=8)
+    b, t = img.shape[:2]
+    lv = t * (1 + h * w)
+    x = txt.shape[1]
+    rs = np.random.RandomState(5)
+    scores = rs.rand(b, lv + x).astype(np.float32) * 0.01
+    scores[:, 1] = 100.0  # first patch of frame 0 dominates
+    out = apply_masking(jax.random.PRNGKey(6), img, txt, vq,
+                        special_token_ids=(101, 102, 0), mask_token_id=103,
+                        mask_types=("am",), att_scores=jnp.asarray(scores))
+    cov = np.asarray(out.cov).reshape(b, t, h * w)
+    assert cov[:, 0, 0].mean() > 0.9  # the dominant patch is ~always masked
