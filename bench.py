@@ -1,0 +1,111 @@
+"""Benchmark: flagship pretrain train-step throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "pretrain_clips_per_sec_per_chip", "value": N,
+   "unit": "clips/s/chip", "vs_baseline": R}
+
+Config mirrors the reference's headline pretrain setup (ref:
+_args/args_pretrain.json): VIOLETv2-base backbone (Video-Swin-base), 4 frames
+at 224^2, 32 text tokens, MTM+VTM+MVM objectives with bm/rm masking — the
+full jitted training step including on-device masking, in-batch VTM
+negatives, backward, and the AdamW update.
+
+``vs_baseline``: the reference publishes NO throughput numbers
+(BASELINE.md: "speed baselines must be measured"). We normalize against a
+documented analytic estimate of the reference's per-A100 throughput,
+REFERENCE_CLIPS_PER_SEC_PER_GPU below, so the ratio is comparable across
+rounds; the absolute clips/s/chip value is the real measurement.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+# Analytic estimate for the torch reference on one A100 (DeepSpeed fp16,
+# batch 20/GPU): ~240 GFLOPs/clip for fwd+bwd of Swin-B(T=4) + fusion + VTM
+# at ~25% MFU on 312 TFLOP/s fp16 => ~50 clips/s/GPU. Documented estimate,
+# not a measurement (the reference repo publishes none).
+REFERENCE_CLIPS_PER_SEC_PER_GPU = 50.0
+
+
+def build(batch_size: int):
+    from empirical_mvm_tpu.core.config import ModelConfig
+    from empirical_mvm_tpu.models.pretrain import VioletPretrain
+    from empirical_mvm_tpu.train.optimizer import build_optimizer
+    from empirical_mvm_tpu.train.train_step import (
+        create_train_state, make_pretrain_train_step)
+
+    cfg = ModelConfig(vis_backbone_size="base", size_img=224, size_frame=4,
+                      size_txt=32)
+    model = VioletPretrain(config=cfg, dtype=jnp.bfloat16,
+                           mvm_target=("pixel",),
+                           pretrain_masks=("bm", "rm"))
+    b, t, s = batch_size, cfg.size_frame, cfg.size_img
+    rs = np.random.RandomState(0)
+    batch = {
+        "img": jnp.asarray(rs.rand(b, t, s, s, 3).astype(np.float32)),
+        "txt": jnp.asarray(rs.randint(999, 25000, (b, cfg.size_txt))
+                           .astype(np.int32)),
+        "mask": jnp.asarray(np.ones((b, cfg.size_txt), np.int32)),
+    }
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda: model.init(
+        {"params": rng, "dropout": rng, "mask": rng},
+        batch["img"], batch["txt"], batch["mask"],
+        method=model.losses)["params"])()
+    tx = build_optimizer(params, lr=5e-5, max_iter=1000)
+    step = make_pretrain_train_step(model, tx, mesh=None, donate=True)
+    state = create_train_state(params, tx)
+    return step, state, batch
+
+
+def main():
+    batch_size = None
+    step = state = batch = None
+    for bs in (32, 16, 8, 4):
+        try:
+            step, state, batch = build(bs)
+            rng = jax.random.PRNGKey(1)
+            state, ls = step(state, batch, rng)   # compile + step 1
+            jax.block_until_ready(ls)
+            batch_size = bs
+            break
+        except Exception as e:  # noqa: BLE001 - OOM fallback
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                continue
+            raise
+    assert batch_size is not None, "all batch sizes OOMed"
+
+    rng = jax.random.PRNGKey(2)
+    n_warm, n_meas = 3, 10
+    for _ in range(n_warm):
+        state, ls = step(state, batch, rng)
+    jax.block_until_ready(ls)
+    t0 = time.perf_counter()
+    for _ in range(n_meas):
+        state, ls = step(state, batch, rng)
+    jax.block_until_ready(ls)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch_size * n_meas / dt
+    print(json.dumps({
+        "metric": "pretrain_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC_PER_GPU, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Shared CLI wiring: config loading, logging, tokenizer, data sources.
+
+Mirrors the reference's per-task ``__main__`` blocks (ref:
+main_retrieval_tsv.py:67-103 and siblings): parse config, build the
+(Dataset, Model, Agent) triple, optional checkpoint load, zero-shot eval,
+train, save.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+
+from empirical_mvm_tpu.core.config import RunConfig, load_run_config
+from empirical_mvm_tpu.data.datasets import TsvImageSource, load_txt_json
+from empirical_mvm_tpu.data.loader import ShardedBatchLoader
+from empirical_mvm_tpu.data.tokenizer import load_tokenizer
+from empirical_mvm_tpu.parallel.mesh import distributed_init, is_main_process
+
+logger = logging.getLogger("empirical_mvm_tpu")
+
+
+def parse_cli(description: str) -> RunConfig:
+    """(ref: utils/args.py:235-246 get_args)"""
+    ap = argparse.ArgumentParser(description=description)
+    ap.add_argument("--config", required=True, help="task JSON config")
+    ap.add_argument("--path_output", default=None)
+    ap.add_argument("--path_ckpt", default=None)
+    ap.add_argument("--size_epoch", type=int, default=None)
+    args = ap.parse_args()
+    cfg = load_run_config(args.config)
+    if args.path_output:
+        cfg = dataclasses.replace(cfg, path_output=args.path_output)
+    if args.path_ckpt is not None:
+        cfg = dataclasses.replace(cfg, path_ckpt=args.path_ckpt)
+    if args.size_epoch is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           size_epoch=args.size_epoch))
+    return cfg
+
+
+def setup_run(cfg: RunConfig) -> RunConfig:
+    """Distributed init + run dir + logging (ref: utils/dist.py:20,
+    main_*.py path_output stamping)."""
+    distributed_init()
+    stamp = datetime.now().strftime("%Y%m%d%H%M%S")
+    out = os.path.join(cfg.path_output, f"_{cfg.task}_{stamp}")
+    cfg = dataclasses.replace(cfg, path_output=out)
+    if is_main_process():
+        os.makedirs(out, exist_ok=True)
+        logging.basicConfig(
+            level=logging.INFO,
+            format="%(asctime)s %(name)s %(levelname)s %(message)s",
+            handlers=[logging.StreamHandler(),
+                      logging.FileHandler(os.path.join(out, "stdout.txt"))])
+        import json
+        with open(os.path.join(out, "args.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+    else:
+        logging.basicConfig(level=logging.WARNING)  # NoOp-rank equivalent
+    return cfg
+
+
+def get_tokenizer(cfg: RunConfig):
+    return load_tokenizer(cfg.data.tokenizer)
+
+
+def tsv_sources(cfg: RunConfig):
+    """img TSV + id2lineidx + txt json (ref: dataset.py:230-246)."""
+    data_dir = cfg.data.data_dir
+    ds = cfg.data.dataset[0] if cfg.data.dataset else cfg.task.split("-")[0]
+    img = TsvImageSource(os.path.join(data_dir, f"img_{ds}.tsv"),
+                         os.path.join(data_dir, f"img_{ds}.id2lineidx.pkl"))
+    txt = load_txt_json(os.path.join(data_dir, f"txt_{cfg.task}.json"))
+    return img, txt
+
+
+def make_loaders(cfg: RunConfig, datasets: dict[str, object]):
+    out = {}
+    for split, ds in datasets.items():
+        if ds is None:
+            out[split] = None
+            continue
+        out[split] = ShardedBatchLoader(
+            ds, cfg.train.size_batch, shuffle=(split == "train"),
+            seed=cfg.train.seed, num_hosts=jax.process_count(),
+            host_index=jax.process_index(),
+            num_threads=cfg.data.n_workers)
+    return out
+
+
+def load_initial_params(cfg: RunConfig, model, example_init_fn,
+                        heads: dict[str, str] | None = None):
+    """Init + optional checkpoint overlay (ref: model.py:295-353 lenient
+    load: intersect what the checkpoint provides, keep init for the rest)."""
+    params = example_init_fn()
+    if cfg.path_ckpt and os.path.exists(cfg.path_ckpt):
+        from empirical_mvm_tpu.train.checkpoint import (load_params,
+                                                        load_torch_violet_ckpt)
+        if cfg.path_ckpt.endswith((".pt", ".pth", ".bin")):
+            loaded = load_torch_violet_ckpt(cfg.path_ckpt, cfg.model,
+                                            heads=heads)
+        else:
+            loaded = load_params(cfg.path_ckpt, like=params)
+        params = _overlay(params, loaded)
+        logger.info("loaded checkpoint %s", cfg.path_ckpt)
+    elif cfg.path_ckpt:
+        logger.warning("checkpoint %s not found, keeping random init "
+                       "(ref model.py:299-301 behavior)", cfg.path_ckpt)
+    return params
+
+
+def _overlay(base, loaded):
+    """Recursive key-intersect merge with shape check
+    (ref: model.py:309-341)."""
+    import numpy as np
+    if not isinstance(base, dict):
+        if loaded is None:
+            return base
+        if tuple(np.shape(base)) != tuple(np.shape(loaded)):
+            logger.warning("shape mismatch %s vs %s; keeping init",
+                           np.shape(base), np.shape(loaded))
+            return base
+        return jnp.asarray(loaded)
+    out = {}
+    for k, v in base.items():
+        out[k] = _overlay(v, loaded.get(k) if isinstance(loaded, dict) else None)
+    extra = set(loaded) - set(base) if isinstance(loaded, dict) else set()
+    if extra:
+        logger.info("unexpected checkpoint keys ignored: %s", sorted(extra)[:10])
+    return out

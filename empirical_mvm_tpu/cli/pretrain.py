@@ -1,0 +1,90 @@
+"""Pretraining CLI (ref: main_pretrain.py / main_pretrain_yaml.py).
+
+Multi-dataset MVM pretraining over sharded TSVs with the MetaLoader schedule.
+
+Usage:
+  python -m empirical_mvm_tpu.cli.pretrain --config configs/pretrain.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from empirical_mvm_tpu.cli import common
+from empirical_mvm_tpu.data.datasets import PretrainTsvDataset
+from empirical_mvm_tpu.data.loader import MetaLoader, ShardedBatchLoader
+from empirical_mvm_tpu.models.pretrain import VioletPretrain
+from empirical_mvm_tpu.train.agent import PretrainAgent
+
+
+def main():
+    cfg = common.parse_cli(__doc__)
+    cfg = common.setup_run(cfg)
+    tokzr = common.get_tokenizer(cfg)
+    tc = cfg.train
+
+    loaders = {}
+    for ds_name in cfg.data.dataset:
+        txt_path = os.path.join(cfg.data.data_dir, f"txt_{ds_name}.json")
+        with open(txt_path) as f:
+            txt = json.load(f)
+        # sharded train TSVs: {name}_train_{part}.tsv (ref main_pretrain.py:44-47)
+        parts = []
+        for part in range(cfg.data.size_part):
+            p = os.path.join(cfg.data.data_dir,
+                             f"{ds_name}_train_{part}.tsv")
+            if os.path.exists(p):
+                parts.append(p)
+        if not parts:
+            raise FileNotFoundError(
+                f"no train shards for {ds_name} under {cfg.data.data_dir}")
+        # one dataset per shard; weight = shard count
+        for i, p in enumerate(parts):
+            ds = PretrainTsvDataset(cfg, "train", tokzr, p,
+                                    txt.get("train", txt),
+                                    dataset_name=ds_name)
+            dl = ShardedBatchLoader(
+                ds, tc.size_batch, shuffle=True, seed=tc.seed,
+                num_hosts=jax.process_count(),
+                host_index=jax.process_index(),
+                num_threads=cfg.data.n_workers)
+            loaders[f"{ds_name}/{i}"] = (dl, 1)
+
+    meta = MetaLoader(loaders, seed=tc.seed, accum_steps=tc.grad_accum)
+
+    model = VioletPretrain(
+        config=cfg.model, dtype=jnp.bfloat16,
+        mvm_target=tc.mvm_target, pretrain_tasks=tc.pretrain_tasks,
+        pretrain_masks=tc.pretrain_masks, p_mask=tc.p_mask, temp=tc.temp,
+        special_token_ids=(tokzr.cls_token_id, tokzr.sep_token_id,
+                           tokzr.pad_token_id),
+        mask_token_id=tokzr.mask_token_id)
+
+    b, t, s, x = tc.size_batch, cfg.model.size_frame, cfg.model.size_img, \
+        cfg.model.size_txt
+
+    def init_fn():
+        rng = jax.random.PRNGKey(tc.seed)
+        return jax.jit(lambda: model.init(
+            {"params": rng, "dropout": rng, "mask": rng},
+            jnp.zeros((b, t, s, s, 3)), jnp.zeros((b, x), jnp.int32),
+            jnp.ones((b, x), jnp.int32), method=model.losses)["params"])()
+
+    params = common.load_initial_params(
+        cfg, model, init_fn,
+        heads={"fc": "score_head", "fc_mtm": "mlm_head"})
+
+    steps_per_ep = sum(len(l) for l, _ in loaders.values())
+    num_steps = steps_per_ep * tc.size_epoch
+    agent = PretrainAgent(cfg, model, params, max_iter=max(num_steps, 1))
+    agent.run_meta(meta, num_steps, eval_every=max(steps_per_ep // 2, 1))
+    agent.save(num_steps, tag="pretrain_final")
+
+
+if __name__ == "__main__":
+    main()

@@ -233,9 +233,19 @@ def load_run_config(path_or_dict: str | dict[str, Any]) -> RunConfig:
     run = RunConfig()
     top = {k: raw[k] for k in ("type", "task", "path_output", "path_ckpt") if k in raw}
     run = _update_dataclass(run, top)
+    model = _update_dataclass(run.model, {k: v for k, v in raw.items() if k in _MODEL_KEYS})
+    if "swin_custom" in raw:          # research/test override, nested dict
+        sc = {k: tuple(v) if isinstance(v, list) else v
+              for k, v in raw["swin_custom"].items()}
+        model = dataclasses.replace(model, swin_custom=SwinConfig(**sc))
+    for bert_key in ("fusion", "text"):
+        if bert_key in raw:
+            model = dataclasses.replace(
+                model, **{bert_key: _update_dataclass(getattr(model, bert_key),
+                                                      raw[bert_key])})
     run = dataclasses.replace(
         run,
-        model=_update_dataclass(run.model, {k: v for k, v in raw.items() if k in _MODEL_KEYS}),
+        model=model,
         train=_update_dataclass(run.train, {k: v for k, v in raw.items() if k in _TRAIN_KEYS}),
         data=_update_dataclass(run.data, {k: v for k, v in raw.items() if k in _DATA_KEYS}),
     )

@@ -1,0 +1,140 @@
+"""Batch loading: per-host index sharding, prefetch, and multi-dataset mixing.
+
+Replaces the reference's torch DataLoader stack (ref: dataset.py:220-250,
+480-509; swinbert/data_sampler.py DistributedSampler/NodeSplitSampler/
+IterationBasedBatchSampler) with:
+
+* ``ShardedBatchLoader`` — deterministic per-host, per-epoch shuffling and
+  fixed-size batches (drop-last at train), decode on a thread pool, and a
+  1-deep prefetch queue to overlap host decode with device steps;
+* ``MetaLoader`` — the multi-dataset weighted sampler (ref: dataset.py:511-547)
+  rebuilt as a deterministic seeded schedule: every host computes the same
+  dataset choice from (seed, step), so the rank-0 ``broadcast_object_list``
+  collective disappears entirely (SURVEY.md §5 distributed-backend note).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+
+
+def _collate(items: list[dict[str, Any]]) -> dict[str, np.ndarray]:
+    out: dict[str, Any] = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]) \
+                or isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[k] = np.stack([np.asarray(v) for v in vals])
+        else:
+            out[k] = vals  # e.g. video-id strings
+    return out
+
+
+class ShardedBatchLoader:
+    """Deterministic sharded loader (ref: get_dl at dataset.py:220-228 +
+    DistributedSampler semantics)."""
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool,
+                 seed: int = 88, num_hosts: int = 1, host_index: int = 0,
+                 drop_last: bool | None = None, num_threads: int = 8,
+                 prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_hosts = num_hosts
+        self.host_index = host_index
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.ds)
+        idx = np.arange(n)
+        if self.shuffle:
+            rs = np.random.RandomState(self.seed + self.epoch)
+            rs.shuffle(idx)
+        # per-host contiguous shard, padded like DistributedSampler
+        per_host = int(np.ceil(n / self.num_hosts))
+        pad = per_host * self.num_hosts - n
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
+        return idx[self.host_index::self.num_hosts]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return int(np.ceil(n / self.batch_size))
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        idx = self._indices()
+        nb = len(self)
+        stop = object()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def produce():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for b in range(nb):
+                    chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    items = list(pool.map(self.ds.__getitem__, chunk))
+                    q.put(_collate(items))
+            q.put(stop)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class MetaLoader:
+    """Weighted multi-dataset mixing with a deterministic schedule
+    (ref: dataset.py:511-547; weights = iters ratio per
+    main_pretrain_yaml.py:256-259).
+
+    The reference broadcasts rank-0's random choice each step; here every
+    host derives the same choice from (seed, step) — same distribution, no
+    collective.
+    """
+
+    def __init__(self, loaders: dict[str, tuple[ShardedBatchLoader, int]],
+                 seed: int = 88, accum_steps: int = 1):
+        self.loaders = {n: l for n, (l, _) in loaders.items()}
+        self.pool: list[str] = []
+        for name, (_, ratio) in loaders.items():
+            self.pool.extend([name] * int(ratio))
+        self.seed = seed
+        self.accum_steps = accum_steps
+        self.step = 0
+        self._iters = {n: iter(l) for n, l in self.loaders.items()}
+
+    def _choice(self, step: int) -> str:
+        rs = np.random.RandomState((self.seed * 1_000_003 + step) % (2 ** 31))
+        return self.pool[rs.randint(len(self.pool))]
+
+    def __iter__(self):
+        task = self.pool[0]
+        while True:
+            if self.step % self.accum_steps == 0:
+                task = self._choice(self.step // self.accum_steps)
+            self.step += 1
+            try:
+                batch = next(self._iters[task])
+            except StopIteration:
+                self.loaders[task].set_epoch(
+                    self.loaders[task].epoch + 1)
+                self._iters[task] = iter(self.loaders[task])
+                batch = next(self._iters[task])
+            yield task, batch

@@ -1,0 +1,156 @@
+"""Downstream task models: retrieval, QA-MC, QA-OE, each a thin head over
+the VIOLET trunk — preserving the reference's (Dataset, Model, Agent) triple
+pattern (SURVEY.md §1).
+
+Parity targets:
+* VIOLET_Retrieval (ref: main_retrieval.py:57-85): B x B pairwise
+  cross-encoding with a VTM-style score head. The reference's Python loop
+  building B^2 pairs is vectorized into repeat/tile + one fused go_cross.
+* VIOLET_RetrievalEval (ref: eval_retrieval.py:96-115): two-stage eval —
+  'feat' (multi-clip mean-pooled video feats) and 'cross' scoring.
+* VIOLET_QAMC (ref: main_qamc.py:50-98): per-option cross-encode + score.
+* VIOLET_QAMC_MLM_Head_GEN (ref: main_qamc_tsv_mlm_gen_ans_idx.py:83-100):
+  options in the prompt, predict the answer digit token at [MASK].
+* VIOLET_QAOE (ref: main_qaoe.py:41-57): answer-vocab classifier at the text
+  CLS position.
+* VIOLET_QAOE_LSMDC / MLM head (ref: main_qaoe_lsmdc_fib.py:55-84): MLM
+  logits at every text position; answer read at the [MASK] slot.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from empirical_mvm_tpu.models.bert import BertMLMHead
+from empirical_mvm_tpu.models.violet import ScoreHead, VioletBase
+
+
+def _cls_pos(img_shape, size_patch: int) -> int:
+    """Index of the first text token in the fused sequence — the reference
+    scores at out[:, (1+h*w)*T] (ref: main_retrieval.py:81)."""
+    t, hh = img_shape[1], img_shape[2]
+    h = w = hh // size_patch
+    return t * (1 + h * w)
+
+
+class VioletRetrieval(VioletBase):
+    """(ref: main_retrieval.py:57-85)"""
+
+    def setup_heads(self):
+        self.fc = ScoreHead(hidden_size=self.config.hidden_size,
+                            dtype=self.dtype, name="fc")
+
+    def __call__(self, img, txt, mask, deterministic: bool = True):
+        b = img.shape[0]
+        cls_pos = _cls_pos(img.shape, self.config.size_patch)
+        fi, mi, ft, mt = self.go_feat(img, txt, mask,
+                                      deterministic=deterministic)
+        # all-pairs: row-major (video i, caption j) like the ref loop at
+        # main_retrieval.py:71-76
+        rep = lambda x: jnp.repeat(x, b, axis=0)
+        tile = lambda x: jnp.concatenate([x] * b, axis=0)
+        out, _ = self.go_cross(rep(fi), rep(mi), tile(ft), tile(mt),
+                               deterministic=deterministic)
+        scores = self.fc(out[:, cls_pos, :], deterministic=deterministic)
+        return scores.reshape(b, b)
+
+    def encode(self, img, txt, mask, deterministic: bool = True):
+        """Stage-1 features for two-stage eval, with optional multi-clip
+        mean pooling (ref: eval_retrieval.py:100-110). ``img`` may be
+        (B, Clips, T, H, W, 3) or (B, T, H, W, 3)."""
+        if img.ndim == 6:
+            b, clips = img.shape[:2]
+            flat = img.reshape((-1,) + img.shape[2:])
+            fi, mi = self.enc_img(flat, deterministic=deterministic)
+            d = fi.shape[-1]
+            fi = fi.reshape(b, clips, -1, d).mean(axis=1)
+            mi = mi.reshape(b, clips, -1)[:, 0, :]
+        else:
+            fi, mi = self.enc_img(img, deterministic=deterministic)
+        ft = self.enc_txt(txt, mask_txt=mask, deterministic=deterministic)
+        return fi, mi, ft, mask
+
+    def score_pairs(self, feat_img, mask_img, feat_txt, mask_txt,
+                    deterministic: bool = True):
+        """Stage-2 cross scoring of prepared (text, video) rows
+        (ref: eval_retrieval.py:112-115)."""
+        out, _ = self.go_cross(feat_img, mask_img, feat_txt, mask_txt,
+                               deterministic=deterministic)
+        return self.fc(out[:, feat_img.shape[1], :],
+                       deterministic=deterministic)[..., 0]
+
+
+class VioletQAMC(VioletBase):
+    """Score-head multiple choice (ref: main_qamc.py:50-98).
+    ``txt``/``mask``: (B, O, X) — question ⊕ option per row."""
+
+    def setup_heads(self):
+        self.fc = ScoreHead(hidden_size=self.config.hidden_size,
+                            dtype=self.dtype, name="fc")
+
+    def __call__(self, img, txt, mask, deterministic: bool = True):
+        b, o, x = txt.shape
+        cls_pos = _cls_pos(img.shape, self.config.size_patch)
+        fi, mi, ft, mt = self.go_feat(img, txt.reshape(b * o, x),
+                                      mask.reshape(b * o, x),
+                                      deterministic=deterministic)
+        # video feats come out (B, Lv, D) since img wasn't expanded
+        fi = jnp.repeat(fi, o, axis=0)
+        mi = jnp.repeat(mi, o, axis=0)
+        out, _ = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
+        logits = self.fc(out[:, cls_pos, :], deterministic=deterministic)
+        return logits.reshape(b, o)
+
+
+class VioletQAMCGen(VioletBase):
+    """Generative MLM-head multiple choice — the README-recommended TGIF path
+    (ref: main_qamc_tsv_mlm_gen_ans_idx.py:83-100). Returns MLM logits over
+    the text positions; the agent renormalizes over the digit tokens."""
+
+    def setup_heads(self):
+        self.fc_mtm = BertMLMHead(self.config.fusion, dtype=self.dtype,
+                                  name="fc_mtm")
+
+    def __call__(self, img, txt, mask, deterministic: bool = True):
+        cls_pos = _cls_pos(img.shape, self.config.size_patch)
+        fi, mi, ft, mt = self.go_feat(img, txt, mask,
+                                      deterministic=deterministic)
+        out, _ = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
+        return self.fc_mtm(out[:, cls_pos:])
+
+
+class VioletQAOE(VioletBase):
+    """Open-ended QA with an answer-vocab classifier
+    (ref: main_qaoe.py:41-57)."""
+
+    size_vocab: int = 1500
+
+    def setup_heads(self):
+        self.fc = ScoreHead(hidden_size=self.config.hidden_size,
+                            out_size=self.size_vocab, dtype=self.dtype,
+                            name="fc")
+
+    def __call__(self, img, txt, mask, deterministic: bool = True):
+        cls_pos = _cls_pos(img.shape, self.config.size_patch)
+        fi, mi, ft, mt = self.go_feat(img, txt, mask,
+                                      deterministic=deterministic)
+        out, _ = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
+        return self.fc(out[:, cls_pos, :], deterministic=deterministic)
+
+
+class VioletQAOEMLMHead(VioletBase):
+    """Open-ended QA / fill-in-blank through the MLM head
+    (ref: main_qaoe_lsmdc_fib.py:55-84, main_qaoe_tsv_mlm_head.py). The
+    answer token is read at the [MASK] position."""
+
+    def setup_heads(self):
+        self.fc_mtm = BertMLMHead(self.config.fusion, dtype=self.dtype,
+                                  name="fc_mtm")
+
+    def __call__(self, img, txt, mask, deterministic: bool = True):
+        cls_pos = _cls_pos(img.shape, self.config.size_patch)
+        fi, mi, ft, mt = self.go_feat(img, txt, mask,
+                                      deterministic=deterministic)
+        out, _ = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
+        return self.fc_mtm(out[:, cls_pos:])

@@ -32,6 +32,38 @@ def make_mesh(n_devices: int | None = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
+def make_data_mesh(batch_size: int, axis_name: str = "data") -> Mesh:
+    """1-D data mesh whose size divides the per-step batch (a batch sharded
+    on ``data`` must split evenly; use the largest divisor of batch_size that
+    fits the device count)."""
+    n = len(jax.devices())
+    best = 1
+    for k in range(min(n, batch_size), 0, -1):
+        if batch_size % k == 0:
+            best = k
+            break
+    return make_mesh(best, axis_name)
+
+
+def pad_batch(batch: Any, target_b: int) -> tuple[Any, int]:
+    """Pad every array's leading dim to ``target_b`` by repeating the last
+    row; returns (padded_batch, n_valid). Used for eval tail batches."""
+    first = next(v for v in batch.values()
+                 if isinstance(v, np.ndarray) and v.ndim > 0)
+    b = first.shape[0]
+    if b == target_b:
+        return batch, b
+    assert b < target_b
+
+    def pad(x):
+        if not isinstance(x, np.ndarray) or x.ndim == 0:
+            return x
+        reps = np.concatenate([x] + [x[-1:]] * (target_b - b), axis=0)
+        return reps
+
+    return {k: pad(v) for k, v in batch.items()}, b
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis_name))

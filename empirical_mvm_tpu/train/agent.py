@@ -1,0 +1,258 @@
+"""Training agents: per-task train/eval orchestration.
+
+Parity target: ``Agent_Base`` and its task subclasses (ref: agent.py:52-211,
+main_retrieval.py:87-124, main_qamc.py:105-183, main_qaoe.py:64-103,
+main_pretrain.py:269-619) — epoch loops with zero-shot eval on startup,
+periodic checkpointing by the main process, EMA loss meters, and per-epoch
+best tracking.
+
+TPU-native shape: an agent owns (model, optimizer, jitted step fns, mesh).
+There is no DDP wrap / GradScaler / autocast — the jitted step from
+train/train_step.py is the whole of it. Metrics that the reference
+all-gathers across ranks (ref: main_qamc.py:172-175) are computed from
+fully-replicated outputs here, so every host already has the global value.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+from collections import defaultdict
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from empirical_mvm_tpu.core.config import RunConfig
+from empirical_mvm_tpu.parallel.mesh import (is_main_process, make_data_mesh,
+                                             make_mesh, pad_batch, shard_batch)
+from empirical_mvm_tpu.train import losses as L
+from empirical_mvm_tpu.train.checkpoint import save_params
+from empirical_mvm_tpu.train.optimizer import build_optimizer
+from empirical_mvm_tpu.train.train_step import (TrainState, create_train_state,
+                                                make_pretrain_train_step)
+
+logger = logging.getLogger(__name__)
+
+
+class RunningMeter:
+    """EMA loss meter, smooth=0.99 (ref: utils/logger.py:164-186)."""
+
+    def __init__(self, smooth: float = 0.99):
+        self.smooth = smooth
+        self._val: float | None = None
+
+    def update(self, v: float) -> None:
+        if math.isnan(v) or math.isinf(v):
+            return
+        self._val = (v if self._val is None
+                     else self.smooth * self._val + (1 - self.smooth) * v)
+
+    @property
+    def val(self) -> float:
+        return float("nan") if self._val is None else self._val
+
+
+class AgentBase:
+    """(ref: agent.py:52-211)"""
+
+    def __init__(self, run_cfg: RunConfig, model, params, *,
+                 mesh=None, group_fn=None, max_iter: int | None = None):
+        self.cfg = run_cfg
+        self.model = model
+        tc = run_cfg.train
+        # mesh size must divide the per-step batch (data-sharded inputs)
+        self.mesh = mesh if mesh is not None else make_data_mesh(tc.size_batch)
+        self.max_iter = max_iter or max(tc.max_iter, 1)
+        kwargs = {}
+        if group_fn is not None:
+            kwargs["group_fn"] = group_fn
+        self.tx = build_optimizer(
+            params, lr=tc.lr, max_iter=self.max_iter,
+            weight_decay=tc.decay, betas=tc.betas,
+            warmup_ratio=tc.warmup_ratio, min_lr=tc.min_lr,
+            max_grad_norm=tc.max_grad_norm,
+            backbone_lr_mul=tc.vis_backbone_lr_mul,
+            grad_accum=tc.grad_accum, **kwargs)
+        self.state = create_train_state(params, self.tx)
+        self.global_step = 0
+        self.meters: dict[str, RunningMeter] = defaultdict(RunningMeter)
+        self.log: dict[str, list] = defaultdict(list)
+        self.rng = jax.random.PRNGKey(tc.seed)
+        self._build_steps()
+
+    def _build_steps(self):
+        """Subclasses install self.train_step / self.eval_step."""
+        raise NotImplementedError
+
+    # ---- loops ----
+
+    def train_epoch(self, loader: Iterable, epoch: int) -> dict[str, float]:
+        t_start = time.time()
+        n = 0
+        for batch in loader:
+            sb = shard_batch(self.mesh, self._device_batch(batch))
+            self.state, ls = self.train_step(self.state, sb, self.rng)
+            self.global_step += 1
+            n += 1
+            for k, v in ls.items():
+                self.meters[k].update(float(v))
+            if n % self.cfg.train.logging_steps == 0:
+                logger.info("ep %d step %d %s", epoch, self.global_step,
+                            {k: round(m.val, 4) for k, m in self.meters.items()})
+        dt = time.time() - t_start
+        out = {k: m.val for k, m in self.meters.items()}
+        out["steps_per_sec"] = n / max(dt, 1e-9)
+        return out
+
+    def _device_batch(self, batch: dict) -> dict:
+        """Strip non-numeric fields (video-id strings etc.) before device
+        transfer."""
+        return {k: v for k, v in batch.items()
+                if (isinstance(v, np.ndarray)
+                    and np.issubdtype(v.dtype, np.number))
+                or isinstance(v, (int, float, np.integer, np.floating))}
+
+    def eval_batches(self, loader: Iterable):
+        """Yield (host_batch, sharded_batch, n_valid): tail batches are padded
+        to the training batch size so the jitted eval fn sees one shape."""
+        for batch in loader:
+            db = self._device_batch(batch)
+            db, n_valid = pad_batch(db, self.cfg.train.size_batch)
+            yield batch, shard_batch(self.mesh, db), n_valid
+
+    def save(self, epoch: int, tag: str | None = None) -> None:
+        """(ref: agent.py:134-141)"""
+        if not is_main_process():
+            return
+        tag = tag or self.cfg.task
+        path = os.path.join(self.cfg.path_output,
+                            f"ckpt_violet_{tag}_{epoch}.msgpack")
+        save_params(self.state.params, path,
+                    meta={"epoch": epoch, "step": self.global_step,
+                          "task": self.cfg.task})
+        logger.info("saved %s", path)
+
+    def fit(self, dl_tr, dl_vl=None, dl_ts=None,
+            eval_fn: Callable | None = None) -> None:
+        """Epoch driver with zero-shot eval + best tracking
+        (ref: main_qamc_tsv_mlm_gen_ans_idx.py:158-185)."""
+        if eval_fn is not None:
+            zs = {s: eval_fn(self.state.params, dl)
+                  for s, dl in (("vl", dl_vl), ("ts", dl_ts)) if dl is not None}
+            logger.info("zero-shot: %s", zs)
+        for ep in range(1, self.cfg.train.size_epoch + 1):
+            if hasattr(dl_tr, "set_epoch"):
+                dl_tr.set_epoch(ep)
+            tr = self.train_epoch(dl_tr, ep)
+            self.log["ls_tr"].append(tr)
+            if eval_fn is not None:
+                for s, dl in (("vl", dl_vl), ("ts", dl_ts)):
+                    if dl is not None:
+                        self.log[f"ac_{s}"].append(eval_fn(self.state.params, dl))
+            logger.info("ep %d done: %s", ep,
+                        {k: v[-1] for k, v in self.log.items() if v})
+            self.save(ep)
+
+    def best_epoch(self) -> tuple[tuple[int, float], tuple[int, float]]:
+        """(ref: agent.py:203-210)"""
+        vl = [m if np.isscalar(m) else list(m.values())[0]
+              for m in self.log["ac_vl"]]
+        ts = [m if np.isscalar(m) else list(m.values())[0]
+              for m in self.log["ac_ts"]]
+        iv, it = int(np.argmax(vl)), int(np.argmax(ts))
+        return (iv, vl[iv]), (it, ts[it])
+
+
+class PretrainAgent(AgentBase):
+    """(ref: Agent_Pretrain at main_pretrain.py:269-610)"""
+
+    def _build_steps(self):
+        self.train_step = make_pretrain_train_step(
+            self.model, self.tx, mesh=self.mesh)
+
+    def run_meta(self, meta_loader, num_steps: int,
+                 eval_every: int = 0, eval_fn=None) -> None:
+        """MetaLoader-driven pretraining (ref: main_pretrain_yaml.py:151-194)."""
+        for (task, batch), _ in zip(iter(meta_loader), range(num_steps)):
+            sb = shard_batch(self.mesh, self._device_batch(batch))
+            self.state, ls = self.train_step(self.state, sb, self.rng)
+            self.global_step += 1
+            for k, v in ls.items():
+                self.meters[f"{task}/{k}"].update(float(v))
+            if self.global_step % self.cfg.train.logging_steps == 0:
+                logger.info("step %d %s", self.global_step,
+                            {k: round(m.val, 4)
+                             for k, m in self.meters.items()})
+            if eval_every and self.global_step % eval_every == 0:
+                if eval_fn is not None:
+                    logger.info("eval @%d: %s", self.global_step,
+                                eval_fn(self.state.params))
+                self.save(self.global_step, tag="pretrain")
+
+
+def make_supervised_agent(loss_kind: str):
+    """Agent factory for the downstream heads. ``loss_kind``:
+    'ce'        — logits (B, K) vs int answers (qamc/qaoe, ref main_qamc.py:147)
+    'mlm'       — logits (B, X, V) vs mask_ans (qamc-gen/qaoe-mlm,
+                  ref main_qamc_tsv_mlm_gen_ans_idx.py:113-117)
+    'nce'       — (B, B) scores, NormSoftmaxLoss (retrieval,
+                  ref main_retrieval.py:91-99)
+    """
+
+    class SupervisedAgent(AgentBase):
+        def _build_steps(self):
+            import optax
+            from empirical_mvm_tpu.parallel.mesh import (batch_sharding,
+                                                         replicated)
+            model, tx, temp = self.model, self.tx, self.cfg.train.temp
+
+            def step_fn(state, batch, rng):
+                rng_step = jax.random.fold_in(rng, state.step)
+
+                def loss_fn(p):
+                    if loss_kind == "nce":
+                        scores = model.apply(
+                            {"params": p}, batch["img"], batch["txt"],
+                            batch["mask"], deterministic=False,
+                            rngs={"dropout": rng_step})
+                        return L.norm_softmax_loss(scores, temp), scores
+                    out = model.apply(
+                        {"params": p}, batch["img"], batch["txt"],
+                        batch["mask"], deterministic=False,
+                        rngs={"dropout": rng_step})
+                    if loss_kind == "mlm":
+                        return L.cross_entropy_ignore(
+                            out, batch["mask_ans"]), out
+                    return L.cross_entropy_ignore(out, batch["ans"]), out
+
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                return (TrainState(params, opt_state, state.step + 1),
+                        {"total": loss})
+
+            rep = replicated(self.mesh)
+            bsh = batch_sharding(self.mesh)
+            st_sh = TrainState(params=rep, opt_state=rep, step=rep)
+            self.train_step = jax.jit(
+                step_fn, in_shardings=(st_sh, bsh, rep),
+                out_shardings=(st_sh, rep), donate_argnums=(0,))
+            self.eval_forward = jax.jit(
+                lambda p, img, txt, mask: model.apply(
+                    {"params": p}, img, txt, mask, deterministic=True),
+                in_shardings=(rep, bsh, bsh, bsh))
+
+    return SupervisedAgent
+
+
+RetrievalAgent = make_supervised_agent("nce")
+QAMCAgent = make_supervised_agent("ce")
+QAMCGenAgent = make_supervised_agent("mlm")
+QAOEAgent = make_supervised_agent("ce")
+QAOEMLMAgent = make_supervised_agent("mlm")

@@ -1,0 +1,107 @@
+"""Checkpoint save/load: msgpack param trees + torch-checkpoint ingestion.
+
+Parity targets (ref: agent.py:127-141 save_model + model.py:295-353 lenient
+load): params are saved per eval-step/epoch by the main process only, with
+``args.json``/``log.json`` beside them; loading intersects keys, reports
+the rest, and slices position embeddings on size mismatch (implemented in
+models/torch_import.py).
+
+Native formats:
+* ``.msgpack`` — flax-serialized param tree (our native format);
+* ``.npz``     — flat numpy tree (portable interchange);
+* ``.pt``      — reference torch checkpoints, ingested via torch.load +
+                 models/torch_import.violet_params_from_torch.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import os.path as op
+from typing import Any, Mapping
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _flatten(tree: Mapping, prefix: str = "") -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, key + "."))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Mapping[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params(params: Any, path: str, meta: dict | None = None) -> None:
+    """Atomic save; main-process gating is the caller's job
+    (ref: agent.py:134-141)."""
+    os.makedirs(op.dirname(op.abspath(path)), exist_ok=True)
+    import jax
+    host_params = jax.tree.map(np.asarray, params)
+    if path.endswith(".msgpack"):
+        from flax import serialization
+        blob = serialization.to_bytes(host_params)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    elif path.endswith(".npz"):
+        np.savez(path + ".tmp.npz", **_flatten(host_params))
+        os.replace(path + ".tmp.npz", path)
+    else:
+        raise ValueError(f"unknown checkpoint format: {path}")
+    if meta is not None:
+        with open(op.splitext(path)[0] + ".json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+
+def load_params(path: str, like: Any = None) -> Any:
+    """Load a checkpoint in any supported format. ``like`` (a param tree)
+    is required for .msgpack to recover the tree structure."""
+    if path.endswith(".msgpack"):
+        from flax import serialization
+        assert like is not None, "msgpack load needs a template tree"
+        with open(path, "rb") as f:
+            return serialization.from_bytes(like, f.read())
+    if path.endswith(".npz"):
+        return _unflatten(dict(np.load(path)))
+    if path.endswith(".pt") or path.endswith(".pth") or path.endswith(".bin"):
+        raise ValueError(
+            "torch checkpoints must go through load_torch_violet_ckpt()")
+    raise ValueError(f"unknown checkpoint format: {path}")
+
+
+def load_torch_violet_ckpt(path: str, model_cfg, heads: dict[str, str]
+                           | None = None) -> Any:
+    """Ingest a released reference checkpoint (ref: model.py:295-353),
+    including SwinBERT remapping when the filename says so
+    (ref: model.py:306)."""
+    import torch
+
+    from empirical_mvm_tpu.models.torch_import import (
+        remap_swinbert_keys, violet_params_from_torch)
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    if "SwinBERT" in op.basename(path):
+        sd = remap_swinbert_keys(sd)
+    return violet_params_from_torch(sd, model_cfg, heads=heads)

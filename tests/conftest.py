@@ -23,6 +23,12 @@ import pytest
 # stick — use the config API to pin tests to the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# XLA CPU compiles are slow (the full train step takes minutes); persist
+# compiled programs so repeat test runs are fast.
+os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))

@@ -1,0 +1,98 @@
+"""End-to-end CLI tests on synthetic data: the full (Dataset, Model, Agent)
+flow per task, exactly as a user would run it.
+
+These drive the same code path as
+``python -m empirical_mvm_tpu.cli.<task> --config <json>`` (main() invoked
+in-process so the tests share the persistent compile cache).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+from tests import synth_data
+
+
+def _write_cfg(tmp_path, task_type, task, ds_name, extra=None):
+    cfg = {"type": task_type, "task": task, "dataset": [ds_name],
+           "data_dir": str(tmp_path / "data"),
+           "path_output": str(tmp_path / "out"),
+           "tokenizer": str(tmp_path / "vocab.txt"),
+           "lr": 1e-3, "size_option": 3,
+           **synth_data.TINY_RUN_OVERRIDES, **(extra or {})}
+    path = tmp_path / f"{task}.json"
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return str(path)
+
+
+def _run_cli(main_fn, argv):
+    old = sys.argv
+    sys.argv = argv
+    try:
+        main_fn()
+    finally:
+        sys.argv = old
+
+
+@pytest.fixture
+def synth_env(tmp_path):
+    synth_data.write_vocab(str(tmp_path / "vocab.txt"))
+    return tmp_path
+
+
+def _latest_run_dir(out_root):
+    runs = sorted(os.listdir(out_root))
+    assert runs
+    return os.path.join(out_root, runs[-1])
+
+
+def test_cli_retrieval_train_and_eval(synth_env):
+    tmp = synth_env
+    synth_data.make_downstream(str(tmp / "data"), "msrvtt", "msrvtt-retrieval",
+                               kind="retrieval")
+    cfg_path = _write_cfg(tmp, "retrieval", "msrvtt-retrieval", "msrvtt",
+                          extra={"multi_clip_testing": True})
+    from empirical_mvm_tpu.cli import retrieval
+    _run_cli(retrieval.main, ["retrieval", "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    files = os.listdir(run_dir)
+    assert any(f.endswith(".msgpack") for f in files), files
+    assert "args.json" in files
+
+    # two-stage benchmark eval on the saved checkpoint
+    ckpt = os.path.join(run_dir,
+                        [f for f in files if f.endswith(".msgpack")][0])
+    from empirical_mvm_tpu.cli import retrieval_eval
+    _run_cli(retrieval_eval.main,
+             ["retrieval_eval", "--config", cfg_path, "--path_ckpt", ckpt])
+
+
+@pytest.mark.parametrize("mode,kind", [("qamc-gen", "qamc"),
+                                       ("qaoe-mlm", "qaoe")])
+def test_cli_qa(synth_env, mode, kind):
+    tmp = synth_env
+    task = f"{kind}-task"
+    synth_data.make_downstream(str(tmp / "data"), "tgif", task, kind=kind)
+    cfg_path = _write_cfg(tmp, kind, task, "tgif")
+    from empirical_mvm_tpu.cli import qa
+    _run_cli(qa.main, ["qa", "--mode", mode, "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    assert any(f.endswith(".msgpack") for f in os.listdir(run_dir))
+
+
+def test_cli_pretrain(synth_env):
+    tmp = synth_env
+    synth_data.make_pretrain(str(tmp / "data"), "webvid2.5m")
+    cfg_path = _write_cfg(tmp, "pretrain", "pretrain", "webvid2.5m",
+                          extra={"size_part": 2, "mvm_target": ["pixel"],
+                                 "pretrain_masks": ["rm", "bm"]})
+    from empirical_mvm_tpu.cli import pretrain
+    _run_cli(pretrain.main, ["pretrain", "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    assert any("pretrain" in f and f.endswith(".msgpack")
+               for f in os.listdir(run_dir))

@@ -1,0 +1,148 @@
+"""Tests for downstream task models + evaluators + end-to-end task flow."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from empirical_mvm_tpu.core.config import BertConfig, ModelConfig, SwinConfig
+from empirical_mvm_tpu.models.tasks import (VioletQAMC, VioletQAMCGen,
+                                            VioletQAOE, VioletQAOEMLMHead,
+                                            VioletRetrieval)
+from empirical_mvm_tpu.train.evaluators import (in_batch_retrieval_accuracy,
+                                                qamc_gen_accuracy,
+                                                qaoe_mlm_topk, rank_metrics)
+
+TINY_BERT = BertConfig(vocab_size=200, hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=64)
+# 4 stages => /32 spatial reduction, matching EncVideo's h=H/32 token grid
+TINY_SWIN = SwinConfig(embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                       drop_path_rate=0.0)
+
+
+def _cfg():
+    return ModelConfig(size_img=64, size_frame=2, size_txt=8, size_option=3,
+                       fusion=TINY_BERT, text=TINY_BERT, swin_custom=TINY_SWIN)
+
+
+def _img(b):
+    return jnp.asarray(np.random.RandomState(0).rand(b, 2, 64, 64, 3)
+                       .astype(np.float32))
+
+
+def test_retrieval_all_pairs_scores():
+    cfg = _cfg()
+    model = VioletRetrieval(config=cfg)
+    b = 3
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b), txt,
+                                        mask)["params"])()
+    scores = jax.jit(lambda p: model.apply({"params": p}, _img(b), txt,
+                                           mask))(params)
+    assert scores.shape == (b, b)
+    # row-major (video i, caption j): identical captions give identical cols
+    acc = in_batch_retrieval_accuracy(np.asarray(scores))
+    assert 0.0 <= acc <= 1.0
+
+
+def test_retrieval_encode_multiclip_and_score_pairs():
+    cfg = _cfg()
+    model = VioletRetrieval(config=cfg)
+    b, clips = 2, 3
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b), txt,
+                                        mask)["params"])()
+    img6 = jnp.asarray(np.random.RandomState(2)
+                       .rand(b, clips, 2, 64, 64, 3).astype(np.float32))
+    fi, mi, ft, mt = jax.jit(lambda p: model.apply(
+        {"params": p}, img6, txt, mask, method=model.encode))(params)
+    lv = 2 * (1 + 2 * 2)
+    assert fi.shape == (b, lv, cfg.hidden_size) and mi.shape == (b, lv)
+    s = jax.jit(lambda p: model.apply({"params": p}, fi, mi, ft, mt,
+                                      method=model.score_pairs))(params)
+    assert s.shape == (b,)
+
+    # mean over clips == encode of each clip averaged
+    fi1, _, _, _ = jax.jit(lambda p: model.apply(
+        {"params": p}, img6[:, 0], txt, mask, method=model.encode))(params)
+    fi_all = [np.asarray(jax.jit(lambda p, c: model.apply(
+        {"params": p}, c, txt, mask, method=model.encode)[0])(params,
+                                                             img6[:, i]))
+              for i in range(clips)]
+    np.testing.assert_allclose(np.asarray(fi), np.mean(fi_all, axis=0),
+                               atol=1e-5)
+
+
+def test_qamc_shapes():
+    cfg = _cfg()
+    model = VioletQAMC(config=cfg)
+    b, o = 2, cfg.size_option
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, o, 8)))
+    mask = jnp.ones((b, o, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b), txt,
+                                        mask)["params"])()
+    out = jax.jit(lambda p: model.apply({"params": p}, _img(b), txt,
+                                        mask))(params)
+    assert out.shape == (b, o)
+
+
+def test_qamc_gen_and_qaoe_mlm_logits():
+    cfg = _cfg()
+    for cls in (VioletQAMCGen, VioletQAOEMLMHead):
+        model = cls(config=cfg)
+        b = 2
+        txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+        mask = jnp.ones((b, 8), jnp.int32)
+        params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b),
+                                            txt, mask)["params"])()
+        out = jax.jit(lambda p: model.apply({"params": p}, _img(b), txt,
+                                            mask))(params)
+        assert out.shape == (b, 8, TINY_BERT.vocab_size)
+
+
+def test_qaoe_vocab_head():
+    cfg = _cfg()
+    model = VioletQAOE(config=cfg, size_vocab=42)
+    b = 2
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b), txt,
+                                        mask)["params"])()
+    out = jax.jit(lambda p: model.apply({"params": p}, _img(b), txt,
+                                        mask))(params)
+    assert out.shape == (b, 42)
+
+
+def test_rank_metrics():
+    s = np.array([[0.9, 0.1, 0.2],
+                  [0.2, 0.8, 0.1],
+                  [0.3, 0.2, 0.1]])
+    m = rank_metrics(s, [0, 1, 2])
+    assert m["r1"] == pytest.approx(200 / 3)
+    assert m["r5"] == 100.0
+    assert m["medr"] == 1.0
+
+
+def test_qamc_gen_accuracy_metric():
+    v = 50
+    logits = np.zeros((2, 4, v), np.float32)
+    txt = np.array([[1, 9, 2, 0], [1, 2, 9, 0]])  # 9 == [MASK]
+    ans_toks = [10, 11, 12]
+    logits[0, 1, 11] = 5.0   # predicts option 1
+    logits[1, 2, 10] = 5.0   # predicts option 0
+    accs = qamc_gen_accuracy(logits, txt, 9, ans_toks, np.array([1, 2]))
+    assert accs == [1.0, 0.0]
+
+
+def test_qaoe_mlm_topk_metric():
+    v = 20
+    logits = np.zeros((2, 3, v), np.float32)
+    mask_ans = np.array([[-1, 7, -1], [-1, -1, -1]])
+    logits[0, 1, 7] = 3.0
+    accs = qaoe_mlm_topk(logits, mask_ans, k=1)
+    assert accs == [1.0, 0.0]  # absent answers count as 0 (ref :113-116)

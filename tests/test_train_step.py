@@ -1,0 +1,125 @@
+"""Integration tests: pretrain train step on an 8-device CPU mesh.
+
+Exercises the full stack — vectorized masking inside the jitted step, VIOLET
+forward with in-batch VTM negatives, all-loss backward, 4-group AdamW with
+warmup-linear — the TPU-native replacement for ref agent.py:161-201.
+"""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from empirical_mvm_tpu.core.config import BertConfig, ModelConfig, SwinConfig
+from empirical_mvm_tpu.models.pretrain import VioletPretrain
+from empirical_mvm_tpu.parallel.mesh import make_mesh, shard_batch
+from empirical_mvm_tpu.train.optimizer import (
+    build_optimizer, default_group_fn, warmup_linear_schedule)
+from empirical_mvm_tpu.train.train_step import (
+    create_train_state, make_pretrain_train_step)
+
+TINY_BERT = BertConfig(vocab_size=200, hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=64)
+TINY_SWIN = SwinConfig(embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                       drop_path_rate=0.1)
+
+
+def _cfg():
+    return ModelConfig(size_img=64, size_frame=2, size_txt=8,
+                       fusion=TINY_BERT, text=TINY_BERT, swin_custom=TINY_SWIN)
+
+
+def _batch(b=8):
+    rs = np.random.RandomState(0)
+    h = w = 2
+    lv = 2 * (1 + h * w)
+    vq = rs.randint(0, 8192, (b, lv)).astype(np.int32)
+    vq[:, ::1 + h * w] = -1
+    return {
+        "img": rs.rand(b, 2, 64, 64, 3).astype(np.float32),
+        "txt": rs.randint(5, 200, (b, 8)).astype(np.int32),
+        "mask": np.ones((b, 8), np.int32),
+        "vq": vq,
+        "hog": rs.rand(b, 2, 64, 64).astype(np.float32),
+    }
+
+
+def test_warmup_linear_schedule_matches_reference():
+    # (ref: agent.py:13-32) 10% warmup then linear decay
+    s = warmup_linear_schedule(1.0, 100, warmup_ratio=0.1, min_lr=1e-8)
+    assert float(s(0)) == pytest.approx(0.0, abs=1e-7)
+    assert float(s(5)) == pytest.approx(0.5)
+    assert float(s(10)) == pytest.approx(1.0)
+    assert float(s(55)) == pytest.approx(0.5)
+    assert float(s(100)) == pytest.approx(1e-8)
+    assert float(s(200)) == pytest.approx(1e-8)
+
+
+def test_group_fn_matches_reference_rules():
+    # (ref: agent.py:86-95) substring 'bias' / LayerNorm -> no decay
+    assert default_group_fn(("enc_img", "swin", "layers_0", "blocks_0",
+                             "attn", "qkv", "kernel")) == "swin_decay"
+    assert default_group_fn(("enc_img", "swin", "norm", "scale")) == "swin_nodecay"
+    assert default_group_fn(("enc_img", "swin", "layers_0", "blocks_0", "attn",
+                             "relative_position_bias_table")) == "swin_nodecay"
+    assert default_group_fn(("trsfr", "layer_0", "output", "bias")) == "other_nodecay"
+    assert default_group_fn(("fc", "fc1", "kernel")) == "other_decay"
+    assert default_group_fn(("enc_img", "emb_cls")) == "other_decay"
+
+
+@pytest.mark.parametrize("mvm_target", [("pixel",), ("pixel", "hog", "vq")])
+def test_pretrain_step_runs_and_learns(mvm_target):
+    cfg = _cfg()
+    model = VioletPretrain(config=cfg, mvm_target=mvm_target,
+                           pretrain_masks=("bm", "rm"))
+    batch = _batch()
+    init_rng = jax.random.PRNGKey(0)
+    # jit the init: eager flax init dispatches thousands of tiny CPU ops
+    params = jax.jit(lambda: model.init(
+        {"params": init_rng, "dropout": init_rng, "mask": init_rng},
+        jnp.asarray(batch["img"]), jnp.asarray(batch["txt"]),
+        jnp.asarray(batch["mask"]), vq=jnp.asarray(batch["vq"]),
+        hog=jnp.asarray(batch["hog"]), method=model.losses)["params"])()
+
+    mesh = make_mesh(8)
+    tx = build_optimizer(params, lr=1e-3, max_iter=50, max_grad_norm=1.0)
+    step = make_pretrain_train_step(model, tx, mesh=mesh, donate=False)
+    state = create_train_state(params, tx)
+    sharded = shard_batch(mesh, batch)
+
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(6):
+        state, ls = step(state, sharded, rng)
+        losses.append(float(ls["total"]))
+        for k, v in ls.items():
+            assert np.isfinite(float(v)), f"{k} not finite at step {i}"
+    assert int(state.step) == 6
+    # training signal: loss decreases from a random init
+    assert losses[-1] < losses[0], losses
+    if "vq" in mvm_target:
+        assert any(np.isfinite(l) for l in losses)
+
+
+def test_pretrain_losses_have_expected_keys():
+    cfg = _cfg()
+    model = VioletPretrain(config=cfg, mvm_target=("pixel", "hog", "vq"),
+                           pretrain_tasks=("mtm", "vtm", "mvm", "smtm"))
+    batch = _batch(b=4)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda: model.init(
+        rngs, jnp.asarray(batch["img"]), jnp.asarray(batch["txt"]),
+        jnp.asarray(batch["mask"]), vq=jnp.asarray(batch["vq"]),
+        hog=jnp.asarray(batch["hog"]), method=model.losses))()
+    ls = jax.jit(lambda v: model.apply(
+        v, jnp.asarray(batch["img"]), jnp.asarray(batch["txt"]),
+        jnp.asarray(batch["mask"]), vq=jnp.asarray(batch["vq"]),
+        hog=jnp.asarray(batch["hog"]), method=model.losses,
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "mask": jax.random.PRNGKey(4)}))(variables)
+    assert set(ls) == {"mtm", "vtm", "smtm", "mvm_pixel", "mvm_hog", "mvm_vq",
+                       "total"}
