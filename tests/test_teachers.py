@@ -1,0 +1,110 @@
+"""Tests for MVM teachers: dVAE VQ extraction (parity vs the reference
+encoder) and the on-device HOG target."""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+from tests.conftest import requires_reference
+
+import jax
+import jax.numpy as jnp
+
+from empirical_mvm_tpu.ops.hog import _line_templates, hog_image
+from empirical_mvm_tpu.teachers.dvae import (DvaeEncoder, DvaeTeacher,
+                                             dvae_params_from_torch,
+                                             map_pixels)
+
+
+def _load_ref_dalle_encoder():
+    name = "_ref_dalle"
+    pkg = types.ModuleType(name)
+    pkg.__path__ = ["/root/reference/visbackbone/dalle"]
+    sys.modules[name] = pkg
+    utils_spec = importlib.util.spec_from_file_location(
+        f"{name}.utils", "/root/reference/visbackbone/dalle/utils.py")
+    utils_mod = importlib.util.module_from_spec(utils_spec)
+    sys.modules[f"{name}.utils"] = utils_mod
+    utils_spec.loader.exec_module(utils_mod)
+    spec = importlib.util.spec_from_file_location(
+        f"{name}.encoder", "/root/reference/visbackbone/dalle/encoder.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f"{name}.encoder"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@requires_reference
+def test_dvae_encoder_parity():
+    import torch
+    ref_mod = _load_ref_dalle_encoder()
+    torch.manual_seed(0)
+    # tiny config: n_hid=64 (min), vocab=512 (min)
+    ref = ref_mod.Encoder(n_hid=64, n_blk_per_group=1, vocab_size=512,
+                          use_mixed_precision=False)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = dvae_params_from_torch(sd, n_blk_per_group=1)
+    model = DvaeEncoder(n_hid=64, n_blk_per_group=1, vocab_size=512)
+
+    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    xm = np.asarray(map_pixels(jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(xm.transpose(0, 3, 1, 2))).numpy()
+    y = np.asarray(model.apply({"params": params}, jnp.asarray(xm)))
+    y = y.transpose(0, 3, 1, 2)
+    assert y.shape == y_ref.shape == (2, 512, 4, 4)
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+    # argmax tokens agree
+    assert (y.argmax(1) == y_ref.argmax(1)).mean() > 0.99
+
+
+@requires_reference
+def test_dvae_teacher_tokens():
+    import torch
+    ref_mod = _load_ref_dalle_encoder()
+    torch.manual_seed(1)
+    ref = ref_mod.Encoder(n_hid=64, n_blk_per_group=1, vocab_size=512,
+                          use_mixed_precision=False)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = dvae_params_from_torch(sd, n_blk_per_group=1)
+    teacher = DvaeTeacher(params, n_hid=64, vocab_size=512,
+                          n_blk_per_group=1, dtype=jnp.float32)
+    img = np.random.RandomState(2).randn(2, 32, 32, 3).astype(np.float32) * 0.5
+    toks = np.asarray(jax.jit(teacher.extract_vq_tokens)(jnp.asarray(img)))
+    assert toks.shape == (2, 4, 4)
+    assert toks.dtype == np.int32 and toks.min() >= 0 and toks.max() < 512
+
+
+def test_hog_templates_draw_lines():
+    t = _line_templates(8, 9)
+    assert t.shape == (9, 8, 8)
+    # every orientation draws a non-empty line of reasonable length
+    npix = t.sum(axis=(1, 2))
+    assert (npix >= 3).all() and (npix <= 9).all()
+
+
+def test_hog_image_properties():
+    rs = np.random.RandomState(0)
+    img = rs.rand(2, 64, 64, 3).astype(np.float32)
+    out = np.asarray(jax.jit(hog_image)(jnp.asarray(img)))
+    assert out.shape == (2, 64, 64)
+    assert np.isfinite(out).all() and out.min() >= 0
+    # constant image -> zero gradients -> zero HOG
+    flat = np.asarray(hog_image(jnp.ones((1, 64, 64, 3))))
+    assert np.allclose(flat, 0)
+    # vertical edges produce energy concentrated in few orientations
+    stripes = np.zeros((1, 64, 64, 3), np.float32)
+    stripes[:, :, ::8, :] = 1.0
+    hs = np.asarray(hog_image(jnp.asarray(stripes)))
+    assert hs.max() > 0
+
+
+def test_hog_batched_video_shape():
+    img = jnp.zeros((2, 3, 64, 64, 3))  # (B, T, H, W, C)
+    out = hog_image(img)
+    assert out.shape == (2, 3, 64, 64)
