@@ -87,6 +87,18 @@ class VioletPretrain(VioletBase):
             self.fc_mvm = ScoreHead(hidden_size=d,
                                     out_size=self.feat_target_size,
                                     dtype=self.dtype, name="fc_mvm")
+        if self.vq_on_the_fly:
+            # frozen dVAE encoder teacher lives inside the model so token
+            # extraction fuses into the train step (ref: main_pretrain.py:197)
+            from empirical_mvm_tpu.teachers.dvae import DvaeEncoder
+            self.dvae = DvaeEncoder(dtype=self.dtype, name="dvae")
+        if "3d_feature" in self.mvm_target:
+            # frozen Video-Swin-base feature teacher (ref: main_pretrain.py:153-163)
+            from empirical_mvm_tpu.core.config import SwinConfig
+            from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
+            self.feature_model = SwinTransformer3D(
+                config=SwinConfig.base(), dtype=self.dtype,
+                name="feature_model")
 
     # ---- helpers over the fused sequence ----
 
@@ -239,13 +251,49 @@ class VioletPretrain(VioletBase):
                 pred = self.decode_pixel(grid)
                 ls["mvm_pixel"] = masked_l1(pred, img, mb.mvm_mask,
                                             channel_div=3.0)
-            if "hog" in self.mvm_target and hog is not None:
+            if "hog" in self.mvm_target:
+                if hog is None:
+                    # on-device HOG teacher over the UNMASKED normalized clip
+                    # (ref computes it in loader workers, dataset.py:197-206)
+                    from empirical_mvm_tpu.ops.hog import hog_image
+                    hog = jax.lax.stop_gradient(hog_image(img))
                 pred = self.decode_hog(grid)
                 ls["mvm_hog"] = masked_l1(pred, hog, mb.mvm_mask[..., 0])
-            if "vq" in self.mvm_target and not self.vq_on_the_fly:
+            if "vq" in self.mvm_target and self.vq_on_the_fly:
+                # dVAE teacher forward in no-grad (ref: main_pretrain.py:480-496)
+                from empirical_mvm_tpu.teachers.dvae import (map_pixels,
+                                                             unnormalize_imagenet)
+                b = img.shape[0]
+                flat = img.reshape((-1,) + img.shape[2:])
+                pix = map_pixels(jnp.clip(
+                    unnormalize_imagenet(flat.astype(jnp.float32)), 0, 1))
+                z = jax.lax.stop_gradient(self.dvae(pix))
+                vq_tokens = jnp.argmax(z, axis=-1)           # (B*T, hv, wv)
+                hv = vq_tokens.shape[1]
+                # masked-cell answers via maxpool of the pixel cover
+                # (ref: main_pretrain.py:487-490)
+                cov_cells = jnp.max(
+                    mb.mvm_mask[..., 0].reshape(b * t, hv, self.vq_patch,
+                                                hv, self.vq_patch),
+                    axis=(2, 4))
+                ans = jnp.where(cov_cells > 0, vq_tokens, -1)
+                ans = ans.reshape(b, t, hv, hv)
+                logits = self.decode_vq_logits(grid)          # (B,T,hv,wv,V)
+                ls["mvm_vq"] = cross_entropy_ignore(logits, ans)
+            elif "vq" in self.mvm_target:
                 logits = self.fc_mvm(out["out_mvm"],
                                      deterministic=deterministic)
                 ls["mvm_vq"] = cross_entropy_ignore(logits, mb.ans_mvm)
+            if "3d_feature" in self.mvm_target:
+                # frozen Video-Swin features as regression target
+                # (ref: main_pretrain.py:508-526)
+                target = jax.lax.stop_gradient(
+                    self.feature_model(img, deterministic=True))
+                pred = self.fc_mvm(self.patch_tokens(out["out_mvm"], t, h, w),
+                                   deterministic=deterministic)
+                ls["mvm_3d_feature"] = masked_l1(pred, target,
+                                                 mb.cov[..., None],
+                                                 channel_div=3.0)
 
         total = jnp.asarray(0.0, jnp.float32)
         for v in ls.values():

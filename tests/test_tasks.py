@@ -146,3 +146,29 @@ def test_qaoe_mlm_topk_metric():
     logits[0, 1, 7] = 3.0
     accs = qaoe_mlm_topk(logits, mask_ans, k=1)
     assert accs == [1.0, 0.0]  # absent answers count as 0 (ref :113-116)
+
+
+def test_captioning_train_and_generate():
+    from empirical_mvm_tpu.models.captioning import VioletCaptioning
+    cfg = _cfg()
+    model = VioletCaptioning(config=cfg, cls_token_id=2, sep_token_id=3,
+                             pad_token_id=0, mask_token_id=4)
+    b = 2
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b), txt,
+                                        mask)["params"])()
+    logits = jax.jit(lambda p: model.apply({"params": p}, _img(b), txt,
+                                           mask))(params)
+    assert logits.shape == (b, 8, TINY_BERT.vocab_size)
+
+    toks = jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), max_len=6, method=model.generate))(params)
+    toks = np.asarray(toks)
+    assert toks.shape == (b, 6)
+    assert (toks[:, 0] == 2).all()          # starts with [CLS]
+    # sampling path also compiles
+    toks2 = jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), max_len=6, decode="sample", top_k=5,
+        top_p=0.9, rng=jax.random.PRNGKey(1), method=model.generate))(params)
+    assert np.asarray(toks2).shape == (b, 6)

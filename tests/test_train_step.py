@@ -123,3 +123,25 @@ def test_pretrain_losses_have_expected_keys():
               "mask": jax.random.PRNGKey(4)}))(variables)
     assert set(ls) == {"mtm", "vtm", "smtm", "mvm_pixel", "mvm_hog", "mvm_vq",
                        "total"}
+
+
+def test_pretrain_on_the_fly_teachers():
+    """vq-on-the-fly (dVAE submodule) + on-device HOG + 3d_feature targets
+    all produce finite losses without any precomputed teacher inputs."""
+    cfg = _cfg()
+    model = VioletPretrain(config=cfg, mvm_target=("hog", "vq"),
+                           vq_on_the_fly=True, pretrain_masks=("rm",))
+    batch = _batch(b=4)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
+    ls = jax.jit(lambda: model.apply(
+        jax.jit(lambda: model.init(
+            rngs, jnp.asarray(batch["img"]), jnp.asarray(batch["txt"]),
+            jnp.asarray(batch["mask"]), method=model.losses))(),
+        jnp.asarray(batch["img"]), jnp.asarray(batch["txt"]),
+        jnp.asarray(batch["mask"]), method=model.losses,
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "mask": jax.random.PRNGKey(4)}))()
+    assert {"mvm_hog", "mvm_vq"} <= set(ls)
+    for k, v in ls.items():
+        assert np.isfinite(float(v)), k
