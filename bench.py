@@ -73,7 +73,7 @@ def build(batch_size: int):
 def main():
     batch_size = None
     step = state = batch = None
-    for bs in (32, 16, 8, 4):
+    for bs in (8, 16, 32, 4):
         try:
             step, state, batch = build(bs)
             rng = jax.random.PRNGKey(1)

@@ -92,6 +92,10 @@ class VioletPretrain(VioletBase):
             # extraction fuses into the train step (ref: main_pretrain.py:197)
             from empirical_mvm_tpu.teachers.dvae import DvaeEncoder
             self.dvae = DvaeEncoder(dtype=self.dtype, name="dvae")
+        if "optical_flow" in self.mvm_target:
+            # frozen RAFT teacher (ref: main_pretrain.py:184-188)
+            from empirical_mvm_tpu.teachers.raft import RAFT
+            self.raft = RAFT(dtype=self.dtype, name="raft")
         if "3d_feature" in self.mvm_target:
             # frozen Video-Swin-base feature teacher (ref: main_pretrain.py:153-163)
             from empirical_mvm_tpu.core.config import SwinConfig
@@ -284,6 +288,22 @@ class VioletPretrain(VioletBase):
                 logits = self.fc_mvm(out["out_mvm"],
                                      deterministic=deterministic)
                 ls["mvm_vq"] = cross_entropy_ignore(logits, mb.ans_mvm)
+            if "optical_flow" in self.mvm_target and t > 1:
+                # RAFT teacher on adjacent frame pairs, magnitude-filtered
+                # masked L1 (ref: main_pretrain.py:386-419)
+                hh, ww = img.shape[2], img.shape[3]
+                i1 = img[:, :-1].reshape(-1, hh, ww, 3)
+                i2 = img[:, 1:].reshape(-1, hh, ww, 3)
+                target = jax.lax.stop_gradient(self.raft(i1, i2))
+                target = target.reshape(img.shape[0], t - 1, hh, ww, 2)
+                pred = self.decode_flow(grid)                 # (B,T-1,H,W,2)
+                cover = mb.mvm_mask[:, :-1] + mb.mvm_mask[:, 1:]
+                mag_ok = (jnp.max(jnp.abs(target), axis=(2, 3, 4))
+                          < 50.0)                             # (B, T-1)
+                flow_mask = ((cover > 0)
+                             & mag_ok[:, :, None, None, None])
+                ls["mvm_flow"] = masked_l1(pred, target, flow_mask,
+                                           channel_div=2.0)
             if "3d_feature" in self.mvm_target:
                 # frozen Video-Swin features as regression target
                 # (ref: main_pretrain.py:508-526)

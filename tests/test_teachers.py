@@ -108,3 +108,49 @@ def test_hog_batched_video_shape():
     img = jnp.zeros((2, 3, 64, 64, 3))  # (B, T, H, W, C)
     out = hog_image(img)
     assert out.shape == (2, 3, 64, 64)
+
+
+def _load_ref_raft():
+    name = "_ref_raft"
+    if f"{name}.raft" in sys.modules:
+        return sys.modules[f"{name}.raft"]
+    pkg = types.ModuleType(name)
+    pkg.__path__ = ["/root/reference/visbackbone/optical_flow"]
+    sys.modules[name] = pkg
+    for sub in ("_utils", "_internally_replaced_utils", "ops", "raft"):
+        spec = importlib.util.spec_from_file_location(
+            f"{name}.{sub}", f"/root/reference/visbackbone/optical_flow/{sub}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{name}.{sub}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules[f"{name}.raft"]
+
+
+@requires_reference
+def test_raft_parity():
+    import torch
+    from empirical_mvm_tpu.teachers.raft import RAFT, raft_params_from_torch
+    ref_mod = _load_ref_raft()
+    torch.manual_seed(0)
+    ref = ref_mod.raft_large(pretrained=False)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = raft_params_from_torch(sd)
+
+    # 128^2 keeps every corr-pyramid level >= 2x2: at 64^2 the coarsest
+    # level is 1x1 and torch grid_sample's (w-1) normalization divides by 0.
+    rs = np.random.RandomState(0)
+    i1 = rs.rand(1, 128, 128, 3).astype(np.float32) * 2 - 1
+    i2 = rs.rand(1, 128, 128, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        flows = ref(torch.from_numpy(i1.transpose(0, 3, 1, 2)),
+                    torch.from_numpy(i2.transpose(0, 3, 1, 2)),
+                    num_flow_updates=4)
+    flow_ref = flows[-1].numpy().transpose(0, 2, 3, 1)
+
+    model = RAFT()
+    flow = np.asarray(jax.jit(
+        lambda p: model.apply({"params": p}, jnp.asarray(i1), jnp.asarray(i2),
+                              num_updates=4))(params))
+    assert flow.shape == flow_ref.shape == (1, 128, 128, 2)
+    np.testing.assert_allclose(flow, flow_ref, atol=5e-3, rtol=1e-2)

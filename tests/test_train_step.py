@@ -145,3 +145,27 @@ def test_pretrain_on_the_fly_teachers():
     assert {"mvm_hog", "mvm_vq"} <= set(ls)
     for k, v in ls.items():
         assert np.isfinite(float(v)), k
+
+
+def test_pretrain_optical_flow_target():
+    """RAFT teacher wired into the pretrain loss (ref main_pretrain.py:386-419).
+    Needs a 128^2 clip so every corr-pyramid level is >= 2x2."""
+    cfg = ModelConfig(size_img=128, size_frame=2, size_txt=8,
+                      fusion=TINY_BERT, text=TINY_BERT, swin_custom=TINY_SWIN)
+    model = VioletPretrain(config=cfg, mvm_target=("optical_flow",),
+                           pretrain_masks=("rm",))
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(2, 2, 128, 128, 3).astype(np.float32))
+    txt = jnp.asarray(rs.randint(5, 200, (2, 8)).astype(np.int32))
+    mask = jnp.ones((2, 8), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda: model.init(rngs, img, txt, mask,
+                                           method=model.losses))()
+    ls = jax.jit(lambda v: model.apply(
+        v, img, txt, mask, method=model.losses,
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "mask": jax.random.PRNGKey(4)}))(variables)
+    assert "mvm_flow" in ls
+    for k, v in ls.items():
+        assert np.isfinite(float(v)), k
