@@ -96,6 +96,10 @@ class VioletPretrain(VioletBase):
             # frozen RAFT teacher (ref: main_pretrain.py:184-188)
             from empirical_mvm_tpu.teachers.raft import RAFT
             self.raft = RAFT(dtype=self.dtype, name="raft")
+        if "depth" in self.mvm_target:
+            # frozen DPT-Large depth teacher (ref: main_pretrain.py:189-193)
+            from empirical_mvm_tpu.teachers.dpt import DPTDepth
+            self.dpt = DPTDepth(dtype=self.dtype, name="dpt")
         if "3d_feature" in self.mvm_target:
             # frozen Video-Swin-base feature teacher (ref: main_pretrain.py:153-163)
             from empirical_mvm_tpu.core.config import SwinConfig
@@ -288,6 +292,18 @@ class VioletPretrain(VioletBase):
                 logits = self.fc_mvm(out["out_mvm"],
                                      deterministic=deterministic)
                 ls["mvm_vq"] = cross_entropy_ignore(logits, mb.ans_mvm)
+            if "depth" in self.mvm_target:
+                # DPT teacher forward in no-grad, masked L1 with the
+                # reference's /3 channel quirk (ref: main_pretrain.py:433-452
+                # divides by _in_C even though depth has one channel)
+                hh, ww = img.shape[2], img.shape[3]
+                flat = img.reshape(-1, hh, ww, 3)
+                target = jax.lax.stop_gradient(self.dpt(flat))
+                target = target.reshape(img.shape[0], t, hh, ww)
+                pred = self.decode_depth(grid)
+                ls["mvm_depth"] = masked_l1(pred, target,
+                                            mb.mvm_mask[..., 0],
+                                            channel_div=3.0)
             if "optical_flow" in self.mvm_target and t > 1:
                 # RAFT teacher on adjacent frame pairs, magnitude-filtered
                 # masked L1 (ref: main_pretrain.py:386-419)

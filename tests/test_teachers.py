@@ -154,3 +154,90 @@ def test_raft_parity():
                               num_updates=4))(params))
     assert flow.shape == flow_ref.shape == (1, 128, 128, 2)
     np.testing.assert_allclose(flow, flow_ref, atol=5e-3, rtol=1e-2)
+
+
+def _timm_stub():
+    """Minimal timm with a ViT-L/16-384 in timm's module layout, enough for
+    the reference's _make_pretrained_vitl16_384 (the real timm is absent)."""
+    import torch
+    import torch.nn as torch_nn
+
+    class Block(torch_nn.Module):
+        def __init__(self, d, heads):
+            super().__init__()
+            self.norm1 = torch_nn.LayerNorm(d, eps=1e-6)
+            self.attn = torch_nn.Module()
+            self.attn.qkv = torch_nn.Linear(d, 3 * d)
+            self.attn.proj = torch_nn.Linear(d, d)
+            self.attn.num_heads = heads
+            self.norm2 = torch_nn.LayerNorm(d, eps=1e-6)
+            self.mlp = torch_nn.Module()
+            self.mlp.fc1 = torch_nn.Linear(d, 4 * d)
+            self.mlp.fc2 = torch_nn.Linear(4 * d, d)
+
+        def forward(self, x):
+            b, l, d = x.shape
+            h = self.attn.num_heads
+            y = self.norm1(x)
+            qkv = self.attn.qkv(y).reshape(b, l, 3, h, d // h).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            a = (q @ k.transpose(-2, -1)) * ((d // h) ** -0.5)
+            a = a.softmax(dim=-1)
+            y = (a @ v).transpose(1, 2).reshape(b, l, d)
+            x = x + self.attn.proj(y)
+            y = self.norm2(x)
+            y = self.mlp.fc2(torch_nn.functional.gelu(self.mlp.fc1(y)))
+            return x + y
+
+    class ViT(torch_nn.Module):
+        def __init__(self, d=1024, depth=24, heads=16, grid=24):
+            super().__init__()
+            self.patch_embed = torch_nn.Module()
+            self.patch_embed.proj = torch_nn.Conv2d(3, d, 16, 16)
+            self.cls_token = torch_nn.Parameter(torch.zeros(1, 1, d))
+            self.pos_embed = torch_nn.Parameter(
+                torch.randn(1, 1 + grid * grid, d) * 0.02)
+            self.pos_drop = torch_nn.Dropout(0.0)
+            self.blocks = torch_nn.ModuleList(
+                [Block(d, heads) for _ in range(depth)])
+            self.norm = torch_nn.LayerNorm(d, eps=1e-6)
+
+    stub = types.ModuleType("timm")
+    stub.create_model = lambda name, pretrained=False: ViT()
+    return stub
+
+
+@requires_reference
+@pytest.mark.slow
+def test_dpt_parity():
+    import torch
+    sys.modules.setdefault("timm", _timm_stub())
+    name = "_ref_midas"
+    pkg = types.ModuleType(name)
+    pkg.__path__ = ["/root/reference/visbackbone/midas"]
+    sys.modules[name] = pkg
+    for sub in ("vit", "base_model", "blocks", "dpt_depth"):
+        spec = importlib.util.spec_from_file_location(
+            f"{name}.{sub}", f"/root/reference/visbackbone/midas/{sub}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{name}.{sub}"] = mod
+        spec.loader.exec_module(mod)
+    dpt_mod = sys.modules[f"{name}.dpt_depth"]
+
+    torch.manual_seed(0)
+    ref = dpt_mod.DPTDepthModel(path=None, backbone="vitl16_384",
+                                non_negative=True)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from empirical_mvm_tpu.teachers.dpt import DPTDepth, dpt_params_from_torch
+    params = dpt_params_from_torch(sd)
+    model = DPTDepth()
+
+    x = np.random.RandomState(0).rand(1, 224, 224, 3).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    y = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, jnp.asarray(x)))(params))
+    assert y.shape == y_ref.shape == (1, 224, 224)
+    np.testing.assert_allclose(y, y_ref, atol=1e-2, rtol=1e-2)

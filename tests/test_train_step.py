@@ -169,3 +169,27 @@ def test_pretrain_optical_flow_target():
     assert "mvm_flow" in ls
     for k, v in ls.items():
         assert np.isfinite(float(v)), k
+
+
+@pytest.mark.slow
+def test_pretrain_depth_target():
+    """DPT teacher wired into the pretrain loss (ref main_pretrain.py:433-452).
+    Full DPT-Large on CPU => slow-marked."""
+    cfg = _cfg()
+    model = VioletPretrain(config=cfg, mvm_target=("depth",),
+                           pretrain_masks=("rm",))
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(2, 2, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rs.randint(5, 200, (2, 8)).astype(np.int32))
+    mask = jnp.ones((2, 8), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda: model.init(rngs, img, txt, mask,
+                                           method=model.losses))()
+    ls = jax.jit(lambda v: model.apply(
+        v, img, txt, mask, method=model.losses,
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "mask": jax.random.PRNGKey(4)}))(variables)
+    assert "mvm_depth" in ls
+    for k, v in ls.items():
+        assert np.isfinite(float(v)), k
