@@ -151,7 +151,28 @@ class VioletBase(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.enc_img = EncVideo(self.config, dtype=self.dtype, name="enc_img")
+        # visual backbone selection (ref: model.py:135-148)
+        vb = self.config.vis_backbone
+        tf = self.config.temporal_fusion
+        if vb == "vidswin":
+            assert tf == "vidswin"
+            self.enc_img = EncVideo(self.config, dtype=self.dtype,
+                                    name="enc_img")
+        elif vb in ("swin", "swin2d"):
+            from empirical_mvm_tpu.models.encoders2d import EncImgSwin
+            self.enc_img = EncImgSwin(self.config, fusion=tf,
+                                      dtype=self.dtype, name="enc_img")
+        elif vb == "r50":
+            from empirical_mvm_tpu.models.encoders2d import EncImgR50
+            self.enc_img = EncImgR50(self.config, fusion=tf,
+                                     dtype=self.dtype, name="enc_img")
+        elif vb == "merlot":
+            from empirical_mvm_tpu.models.encoders2d import EncImgMerlot
+            assert tf == "concat"
+            self.enc_img = EncImgMerlot(self.config, dtype=self.dtype,
+                                        name="enc_img")
+        else:
+            raise ValueError(f"unknown vis_backbone {vb}")
         self.enc_txt = EncTxt(self.config, dtype=self.dtype, name="enc_txt")
         self.trsfr = BertEncoder(self.config.fusion, dtype=self.dtype,
                                  name="trsfr")
