@@ -46,8 +46,14 @@ def build(batch_size: int):
     from empirical_mvm_tpu.train.train_step import (
         create_train_state, make_pretrain_train_step)
 
-    cfg = ModelConfig(vis_backbone_size="base", size_img=224, size_frame=4,
-                      size_txt=32)
+    from empirical_mvm_tpu.core.config import BertConfig, SwinConfig
+    import dataclasses
+    cfg = ModelConfig(
+        vis_backbone_size="base", size_img=224, size_frame=4, size_txt=32,
+        # remat each swin block / fusion layer: trades ~30% recompute FLOPs
+        # for activation memory so larger (MXU-friendlier) batches fit
+        swin_custom=dataclasses.replace(SwinConfig.base(), remat=True),
+        fusion=dataclasses.replace(BertConfig.base_uncased(), remat=True))
     model = VioletPretrain(config=cfg, dtype=jnp.bfloat16,
                            mvm_target=("pixel",),
                            pretrain_masks=("bm", "rm"))
@@ -73,7 +79,7 @@ def build(batch_size: int):
 def main():
     batch_size = None
     step = state = batch = None
-    for bs in (8, 16, 32, 4):
+    for bs in (32, 16, 8, 4):
         try:
             step, state, batch = build(bs)
             rng = jax.random.PRNGKey(1)

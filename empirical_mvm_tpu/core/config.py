@@ -38,6 +38,7 @@ class SwinConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     patch_norm: bool = True
+    remat: bool = False     # jax.checkpoint each block (memory for FLOPs)
 
     @property
     def num_features(self) -> int:
@@ -90,6 +91,7 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    remat: bool = False     # jax.checkpoint each layer
 
     @classmethod
     def base_uncased(cls) -> "BertConfig":

@@ -143,8 +143,10 @@ class BertEncoder(nn.Module):
     def __call__(self, x, attn_bias=None, deterministic: bool = True,
                  output_attentions: bool = False):
         all_probs = []
+        layer_cls = (nn.remat(BertLayer, static_argnums=(3, 4))
+                     if self.config.remat else BertLayer)
         for i in range(self.config.num_hidden_layers):
-            x, probs = BertLayer(self.config, dtype=self.dtype,
+            x, probs = layer_cls(self.config, dtype=self.dtype,
                                  name=f"layer_{i}")(
                 x, attn_bias, deterministic, output_attentions)
             if output_attentions:

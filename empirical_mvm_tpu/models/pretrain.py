@@ -107,6 +107,13 @@ class VioletPretrain(VioletBase):
             self.feature_model = SwinTransformer3D(
                 config=SwinConfig.base(), dtype=self.dtype,
                 name="feature_model")
+        elif "2d_feature" in self.mvm_target:
+            # frozen 2D Swin-base feature teacher (ref: main_pretrain.py:164-174)
+            from empirical_mvm_tpu.models.encoders2d import swin2d_config
+            from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
+            self.feature_model = SwinTransformer3D(
+                config=swin2d_config("base"), dtype=self.dtype,
+                name="feature_model")
 
     # ---- helpers over the fused sequence ----
 
@@ -328,6 +335,15 @@ class VioletPretrain(VioletBase):
                 pred = self.fc_mvm(self.patch_tokens(out["out_mvm"], t, h, w),
                                    deterministic=deterministic)
                 ls["mvm_3d_feature"] = masked_l1(pred, target,
+                                                 mb.cov[..., None],
+                                                 channel_div=3.0)
+            if "2d_feature" in self.mvm_target:
+                # frozen 2D Swin features per frame (ref: main_pretrain.py:527-545)
+                target = jax.lax.stop_gradient(
+                    self.feature_model(img, deterministic=True))
+                pred = self.fc_mvm(self.patch_tokens(out["out_mvm"], t, h, w),
+                                   deterministic=deterministic)
+                ls["mvm_2d_feature"] = masked_l1(pred, target,
                                                  mb.cov[..., None],
                                                  channel_div=3.0)
 

@@ -317,6 +317,7 @@ class BasicLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path_rates: tuple[float, ...] = ()
     downsample: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -330,10 +331,16 @@ class BasicLayer(nn.Module):
         wp = int(np.ceil(w / window_size[2])) * window_size[2]
         attn_mask = _shift_attn_mask((dp, hp, wp), window_size, shift_size)
 
+        # rematerialize per block on demand — the reference's fairscale
+        # checkpoint_wrapper / torch.utils.checkpoint equivalent
+        # (ref: model.py:149, visbackbone/video_swin.py:252-261)
+        block_cls = (nn.remat(SwinTransformerBlock3D,
+                              static_argnums=(2,))
+                     if self.remat else SwinTransformerBlock3D)
         for i in range(self.depth):
             rate = (self.drop_path_rates[i]
                     if i < len(self.drop_path_rates) else 0.0)
-            x = SwinTransformerBlock3D(
+            x = block_cls(
                 dim=self.dim, num_heads=self.num_heads,
                 window_size=self.window_size,
                 shift_size=((0, 0, 0) if i % 2 == 0
@@ -342,7 +349,7 @@ class BasicLayer(nn.Module):
                 qk_scale=self.qk_scale, drop=self.drop,
                 attn_drop=self.attn_drop, drop_path_rate=rate,
                 dtype=self.dtype, name=f"blocks_{i}",
-            )(x, attn_mask, deterministic=deterministic)
+            )(x, attn_mask, deterministic)
 
         if self.downsample:
             x = PatchMerging(dim=self.dim, dtype=self.dtype, name="downsample")(x)
@@ -393,6 +400,7 @@ class SwinTransformer3D(nn.Module):
                 attn_drop=cfg.attn_drop_rate,
                 drop_path_rates=tuple(dpr[start:start + depth]),
                 downsample=(i < len(cfg.depths) - 1),
+                remat=cfg.remat,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, deterministic=deterministic)

@@ -147,3 +147,59 @@ def test_am_masking_follows_scores():
                         mask_types=("am",), att_scores=jnp.asarray(scores))
     cov = np.asarray(out.cov).reshape(b, t, h * w)
     assert cov[:, 0, 0].mean() > 0.9  # the dominant patch is ~always masked
+
+
+def _composite_env(tmp_path):
+    import base64
+    import cv2
+    from empirical_mvm_tpu.data.tsv import tsv_writer
+    rs = np.random.RandomState(0)
+
+    def b64():
+        ok, buf = cv2.imencode(".jpg", (rs.rand(40, 40, 3) * 255).astype(np.uint8))
+        return base64.b64encode(buf.tobytes()).decode()
+
+    import json
+    rows_img, rows_cap, linelist = [], [], []
+    for i in range(6):
+        rows_img.append([f"v{i}", "{}", b64(), b64(), b64()])
+        rows_cap.append([f"v{i}", json.dumps([{"caption": f"clip {i} a"},
+                                              {"caption": f"clip {i} b"}])])
+        for c in range(2):
+            linelist.append([i, c])
+    tsv_writer(rows_img, str(tmp_path / "img.tsv"))
+    tsv_writer(rows_cap, str(tmp_path / "cap.tsv"))
+    with open(tmp_path / "linelist.tsv", "w") as f:
+        for a, b in linelist:
+            f.write(f"{a}\t{b}\n")
+    with open(tmp_path / "train.yaml", "w") as f:
+        f.write("img: img.tsv\ncaption: cap.tsv\ncaption_linelist: linelist.tsv\n")
+    return str(tmp_path / "train.yaml")
+
+
+def test_composite_yaml_dataset(tmp_path):
+    from empirical_mvm_tpu.core.config import RunConfig, load_run_config
+    from empirical_mvm_tpu.data.composite import CompositeYamlDataset
+    from empirical_mvm_tpu.data.tokenizer import WordPieceTokenizer
+    yaml_path = _composite_env(tmp_path)
+    cfg = load_run_config({"size_img": 64, "size_frame": 2, "size_txt": 8})
+    tk = WordPieceTokenizer(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                             "clip", "a", "b"] + [str(i) for i in range(10)])
+    ds = CompositeYamlDataset(cfg, yaml_path, split="train", tokzr=tk)
+    assert len(ds) == 12  # 6 videos x 2 captions
+    item = ds[3]
+    assert item["img"].shape == (2, 64, 64, 3)
+    assert item["txt"].shape == (8,)
+    assert ds.get_composite_source_idx() == [0] * 12
+
+
+def test_shard_affinity_partitions_all_rows():
+    from empirical_mvm_tpu.data.composite import shard_affinity_indices
+    src = [0] * 10 + [1] * 10 + [2] * 10 + [3] * 10
+    seen = []
+    for host in range(2):
+        idx = shard_affinity_indices(src, 2, host, seed=3)
+        shards = {src[i] for i in idx}
+        assert len(shards) == 2          # whole shards per host
+        seen.extend(idx.tolist())
+    assert sorted(seen) == list(range(40))
