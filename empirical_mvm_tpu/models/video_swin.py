@@ -334,8 +334,10 @@ class BasicLayer(nn.Module):
         # rematerialize per block on demand — the reference's fairscale
         # checkpoint_wrapper / torch.utils.checkpoint equivalent
         # (ref: model.py:149, visbackbone/video_swin.py:252-261)
+        # static_argnums counts the bound module as arg 0:
+        # (self, x, attn_mask, deterministic) -> deterministic is 3
         block_cls = (nn.remat(SwinTransformerBlock3D,
-                              static_argnums=(2,))
+                              static_argnums=(3,))
                      if self.remat else SwinTransformerBlock3D)
         for i in range(self.depth):
             rate = (self.drop_path_rates[i]
