@@ -293,7 +293,11 @@ class PretrainTsvDataset(DatasetBase):
                  dataset_name: str = "webvid2.5m", vq: dict | None = None):
         size_frame = 1 if dataset_name in self.IMAGE_DATASETS else None
         super().__init__(cfg, split, tokzr, size_frame=size_frame)
-        self.tsv = TSVFile(tsv_path, generate_lineidx_if_missing=True)
+        # prefer the C++ mmap reader (native/tsv_reader.cpp); falls back to
+        # the Python TSVFile when the .so isn't built
+        from empirical_mvm_tpu.data.native_tsv import open_tsv
+        TSVFile(tsv_path, generate_lineidx_if_missing=True)  # ensure lineidx
+        self.tsv = open_tsv(tsv_path)
         self.txt = txt
         self.vq = vq
         self.dataset_name = dataset_name
