@@ -39,6 +39,7 @@ class SwinConfig:
     drop_path_rate: float = 0.2
     patch_norm: bool = True
     remat: bool = False     # jax.checkpoint each block (memory for FLOPs)
+    use_pallas_attention: bool = False  # fused window-attention kernel (TPU)
 
     @property
     def num_features(self) -> int:

@@ -155,6 +155,7 @@ class WindowAttention3D(nn.Module):
     qk_scale: float | None = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -164,7 +165,6 @@ class WindowAttention3D(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
-        full_n = self.window_size[0] * self.window_size[1] * self.window_size[2]
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(stddev=0.02),
@@ -179,25 +179,38 @@ class WindowAttention3D(nn.Module):
         qkv = qkv.transpose(2, 0, 3, 1, 4)                     # (3, B_, nH, N, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)   # (B_, nH, N, N)
-
         bias = table[rel_index.reshape(-1)].reshape(n, n, -1)   # (N, N, nH)
         bias = bias.transpose(2, 0, 1).astype(jnp.float32)      # (nH, N, N)
-        attn = attn + bias[None]
 
-        if mask is not None:                                    # (nW, N, N) static
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
-            attn = attn + jnp.asarray(mask, jnp.float32)[None, :, None]
-            attn = attn.reshape(-1, self.num_heads, n, n)
+        if self.use_pallas and self.attn_drop == 0.0:
+            # fused Pallas path: score+bias+mask+softmax+@v stay in VMEM
+            from empirical_mvm_tpu.ops.window_attention import (
+                fused_window_attention)
+            if mask is not None:
+                mask_arr = jnp.asarray(mask, jnp.float32)
+                nw = mask.shape[0]
+            else:
+                mask_arr = jnp.zeros((1, n, n), jnp.float32)
+                nw = 1
+            x = fused_window_attention(
+                q, k, v, bias, mask_arr, nw, float(scale),
+                interpret=(jax.default_backend() != "tpu"))
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias[None]
+            if mask is not None:                                # (nW, N, N)
+                nw = mask.shape[0]
+                attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
+                attn = attn + jnp.asarray(mask, jnp.float32)[None, :, None]
+                attn = attn.reshape(-1, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn,
+                                              deterministic=deterministic)
+            x = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                           preferred_element_type=jnp.float32)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-
-        x = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                       preferred_element_type=jnp.float32).astype(self.dtype)
-        x = x.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
         x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
         return x
@@ -228,6 +241,7 @@ class SwinTransformerBlock3D(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -259,7 +273,8 @@ class SwinTransformerBlock3D(nn.Module):
         attn_windows = WindowAttention3D(
             dim=self.dim, window_size=self.window_size, num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-            attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            use_pallas=self.use_pallas, dtype=self.dtype,
             name="attn")(x_windows, mask=mask, deterministic=deterministic)
         x = window_reverse(attn_windows, window_size, b, dp, hp, wp)
 
@@ -318,6 +333,7 @@ class BasicLayer(nn.Module):
     drop_path_rates: tuple[float, ...] = ()
     downsample: bool = False
     remat: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -350,6 +366,7 @@ class BasicLayer(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale, drop=self.drop,
                 attn_drop=self.attn_drop, drop_path_rate=rate,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"blocks_{i}",
             )(x, attn_mask, deterministic)
 
@@ -403,6 +420,7 @@ class SwinTransformer3D(nn.Module):
                 drop_path_rates=tuple(dpr[start:start + depth]),
                 downsample=(i < len(cfg.depths) - 1),
                 remat=cfg.remat,
+                use_pallas=cfg.use_pallas_attention,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, deterministic=deterministic)

@@ -82,6 +82,9 @@ class AgentBase:
         self.meters: dict[str, RunningMeter] = defaultdict(RunningMeter)
         self.log: dict[str, list] = defaultdict(list)
         self.rng = jax.random.PRNGKey(tc.seed)
+        from empirical_mvm_tpu.train.metrics import MetricsLogger
+        self.metrics = (MetricsLogger(run_cfg.path_output, run_cfg.task)
+                        if is_main_process() else None)
         self._build_steps()
 
     def _build_steps(self):
@@ -101,8 +104,11 @@ class AgentBase:
             for k, v in ls.items():
                 self.meters[k].update(float(v))
             if n % self.cfg.train.logging_steps == 0:
-                logger.info("ep %d step %d %s", epoch, self.global_step,
-                            {k: round(m.val, 4) for k, m in self.meters.items()})
+                vals = {k: round(m.val, 4) for k, m in self.meters.items()}
+                logger.info("ep %d step %d %s", epoch, self.global_step, vals)
+                if self.metrics is not None:
+                    self.metrics.log({f"train_{k}": v for k, v in vals.items()},
+                                     self.global_step)
         dt = time.time() - t_start
         out = {k: m.val for k, m in self.meters.items()}
         out["steps_per_sec"] = n / max(dt, 1e-9)
@@ -184,9 +190,11 @@ class PretrainAgent(AgentBase):
             for k, v in ls.items():
                 self.meters[f"{task}/{k}"].update(float(v))
             if self.global_step % self.cfg.train.logging_steps == 0:
-                logger.info("step %d %s", self.global_step,
-                            {k: round(m.val, 4)
-                             for k, m in self.meters.items()})
+                vals = {k: round(m.val, 4) for k, m in self.meters.items()}
+                logger.info("step %d %s", self.global_step, vals)
+                if self.metrics is not None:
+                    self.metrics.log({f"train_{k}": v for k, v in vals.items()},
+                                     self.global_step)
             if eval_every and self.global_step % eval_every == 0:
                 if eval_fn is not None:
                     logger.info("eval @%d: %s", self.global_step,

@@ -1,0 +1,48 @@
+"""Parity test for the fused window-attention Pallas kernel (interpret mode
+on CPU) against the XLA reference path."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from empirical_mvm_tpu.ops.window_attention import (
+    fused_window_attention, window_attention_reference)
+
+
+@pytest.mark.parametrize("nh,n,hd,nw", [(4, 196, 32, 8), (2, 49, 16, 4)])
+def test_kernel_matches_reference(nh, n, hd, nw):
+    rs = np.random.RandomState(0)
+    b = 2
+    b_ = b * nw
+    q = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    k = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    v = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
+    mask = np.zeros((nw, n, n), np.float32)
+    mask[::2, : n // 2, n // 2:] = -100.0   # some shifted windows
+    mask = jnp.asarray(mask)
+    scale = hd ** -0.5
+
+    ref = window_attention_reference(q, k, v, bias, mask, nw, scale)
+    out = fused_window_attention(q, k, v, bias, mask, nw, scale,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+from tests.conftest import requires_reference
+
+
+@requires_reference
+def test_swin_parity_with_pallas_path():
+    """Full VideoSwin forward with the fused kernel (interpret mode) must
+    still match the torch reference."""
+    from tests.test_video_swin_parity import _parity_case
+    from empirical_mvm_tpu.core.config import SwinConfig
+    cfg = SwinConfig(embed_dim=32, depths=(2, 2), num_heads=(2, 4),
+                     drop_path_rate=0.0, use_pallas_attention=True)
+    _parity_case(cfg, (2, 4, 64, 64))
