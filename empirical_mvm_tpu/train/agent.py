@@ -142,6 +142,27 @@ class AgentBase:
                           "task": self.cfg.task})
         logger.info("saved %s", path)
 
+    def save_resumable(self, tag: str = "restore") -> None:
+        """Full-resume checkpoint incl. optimizer state (double-buffered)."""
+        if not is_main_process():
+            return
+        from empirical_mvm_tpu.train.checkpoint import save_train_state
+        path = os.path.join(self.cfg.path_output, f"{tag}.state")
+        save_train_state(self.state, path,
+                         meta={"step": self.global_step,
+                               "task": self.cfg.task})
+
+    def resume(self, tag: str = "restore") -> bool:
+        """Restore params+optimizer+step if a resume checkpoint exists."""
+        from empirical_mvm_tpu.train.checkpoint import load_train_state
+        path = os.path.join(self.cfg.path_output, f"{tag}.state")
+        if not (os.path.exists(path) or os.path.exists(path + ".backup")):
+            return False
+        self.state = load_train_state(path, self.state)
+        self.global_step = int(self.state.step)
+        logger.info("resumed from %s at step %d", path, self.global_step)
+        return True
+
     def fit(self, dl_tr, dl_vl=None, dl_ts=None,
             eval_fn: Callable | None = None) -> None:
         """Epoch driver with zero-shot eval + best tracking
@@ -200,6 +221,7 @@ class PretrainAgent(AgentBase):
                     logger.info("eval @%d: %s", self.global_step,
                                 eval_fn(self.state.params))
                 self.save(self.global_step, tag="pretrain")
+                self.save_resumable()
 
 
 def make_supervised_agent(loss_kind: str):

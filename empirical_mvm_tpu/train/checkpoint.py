@@ -87,6 +87,42 @@ def load_params(path: str, like: Any = None) -> Any:
     raise ValueError(f"unknown checkpoint format: {path}")
 
 
+def save_train_state(state, path: str, meta: dict | None = None) -> None:
+    """Full-resume checkpoint: params + optimizer state + step, with a
+    double-buffered write (ref: utils/load_save.py:217-338 TrainingRestorer —
+    dead code upstream, live here). Writes ``<path>`` then rotates the
+    previous one to ``<path>.backup``."""
+    import jax
+    from flax import serialization
+
+    os.makedirs(op.dirname(op.abspath(path)), exist_ok=True)
+    host_state = jax.tree.map(np.asarray, state)
+    blob = serialization.to_bytes(host_state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    if op.exists(path):
+        os.replace(path, path + ".backup")
+    os.replace(tmp, path)
+    if meta is not None:
+        with open(op.splitext(path)[0] + ".json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+
+def load_train_state(path: str, like) -> Any:
+    """Restore a full TrainState; falls back to the ``.backup`` buffer if the
+    primary is corrupt (ref: utils/load_save.py restore-with-retry)."""
+    from flax import serialization
+
+    for candidate in (path, path + ".backup"):
+        try:
+            with open(candidate, "rb") as f:
+                return serialization.from_bytes(like, f.read())
+        except Exception as e:  # noqa: BLE001
+            logger.warning("restore from %s failed: %s", candidate, e)
+    raise FileNotFoundError(f"no restorable train state at {path}")
+
+
 def load_torch_violet_ckpt(path: str, model_cfg, heads: dict[str, str]
                            | None = None) -> Any:
     """Ingest a released reference checkpoint (ref: model.py:295-353),

@@ -193,3 +193,44 @@ def test_pretrain_depth_target():
     assert "mvm_depth" in ls
     for k, v in ls.items():
         assert np.isfinite(float(v)), k
+
+
+def test_save_and_resume_train_state(tmp_path):
+    """Double-buffered full-state resume (params+opt+step survive, corrupt
+    primary falls back to backup)."""
+    from empirical_mvm_tpu.train.checkpoint import (load_train_state,
+                                                    save_train_state)
+    cfg = _cfg()
+    model = VioletPretrain(config=cfg, mvm_target=("pixel",),
+                           pretrain_masks=("rm",))
+    batch = _batch(b=4)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda: model.init(
+        {"params": rng, "dropout": rng, "mask": rng},
+        jnp.asarray(batch["img"]), jnp.asarray(batch["txt"]),
+        jnp.asarray(batch["mask"]), method=model.losses)["params"])()
+    tx = build_optimizer(params, lr=1e-3, max_iter=10)
+    step = make_pretrain_train_step(model, tx, mesh=None, donate=False)
+    state = create_train_state(params, tx)
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, _ = step(state, db, rng)
+    state, _ = step(state, db, rng)
+
+    path = str(tmp_path / "restore.state")
+    save_train_state(state, path, meta={"step": 2})
+    save_train_state(state, path)              # rotates first into .backup
+    import os
+    assert os.path.exists(path) and os.path.exists(path + ".backup")
+
+    template = create_train_state(params, tx)
+    restored = load_train_state(path, template)
+    assert int(restored.step) == 2
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # corrupt primary -> backup used
+    with open(path, "wb") as f:
+        f.write(b"garbage" if isinstance(b"garbage", bytes) else b"x")
+    restored2 = load_train_state(path, template)
+    assert int(restored2.step) == 2
