@@ -42,7 +42,7 @@ class ShardedBatchLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,
                  seed: int = 88, num_hosts: int = 1, host_index: int = 0,
                  drop_last: bool | None = None, num_threads: int = 8,
-                 prefetch: int = 2):
+                 prefetch: int = 2, limit_samples: int = -1):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,6 +52,9 @@ class ShardedBatchLoader:
         self.drop_last = shuffle if drop_last is None else drop_last
         self.num_threads = num_threads
         self.prefetch = prefetch
+        # per-host sample cap (ref: swinbert/data_sampler.py:13-95
+        # DistributedSamplerLimited)
+        self.limit_samples = limit_samples
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -68,7 +71,10 @@ class ShardedBatchLoader:
         pad = per_host * self.num_hosts - n
         if pad:
             idx = np.concatenate([idx, idx[:pad]])
-        return idx[self.host_index::self.num_hosts]
+        mine = idx[self.host_index::self.num_hosts]
+        if self.limit_samples > 0:
+            mine = mine[:self.limit_samples]
+        return mine
 
     def __len__(self) -> int:
         n = len(self._indices())

@@ -148,7 +148,12 @@ def decode_clip(bufs: Sequence[str | bytes], size_img: int, size_frame: int,
                 transform: str = "img_rand_crop",
                 rng: random.Random | None = None) -> np.ndarray:
     """base64 frame buffers -> (T, H, W, 3) normalized float32 clip
-    (ref: dataset.py:165-195 get_img_or_video)."""
+    (ref: dataset.py:165-195 get_img_or_video).
+
+    ``vid_*`` transforms crop the whole clip with ONE shared window
+    (ref: visbackbone/video_transform.py:248-306 clip-level RandomCrop);
+    ``img_*`` transforms draw an independent crop per frame.
+    """
     rng = rng or random
     train = split == "train"
     idx = temporal_sample(len(bufs), size_frame, random_clip=train, rng=rng)
@@ -156,6 +161,15 @@ def decode_clip(bufs: Sequence[str | bytes], size_img: int, size_frame: int,
         # eval transform downgrades (ref: dataset.py:179-189)
         transform = {"vid_rand_crop": "vid_center_crop",
                      "img_rand_crop": "img_center_crop"}.get(transform, transform)
-    frames = [apply_transform(decode_b64_image(bufs[i]), transform, size_img,
-                              rng) for i in idx]
+    if transform == "vid_rand_crop":
+        imgs = [_resize(decode_b64_image(bufs[i]), size_img, short_side=True)
+                for i in idx]
+        h, w = imgs[0].shape[:2]
+        top = rng.randint(0, h - size_img) if h > size_img else 0
+        left = rng.randint(0, w - size_img) if w > size_img else 0
+        frames = [_normalize(im[top:top + size_img, left:left + size_img])
+                  for im in imgs]
+    else:
+        frames = [apply_transform(decode_b64_image(bufs[i]), transform,
+                                  size_img, rng) for i in idx]
     return np.stack(frames).astype(np.float32)

@@ -120,6 +120,57 @@ class VioletQAMCGen(VioletBase):
         return self.fc_mtm(out[:, cls_pos:])
 
 
+class VioletQAMCMLMHead(VioletBase):
+    """MLM-head multiple choice: each (question, option) row appends [MASK]
+    and the model predicts the true/false token there
+    (ref: main_qamc_tsv_mlm_head.py:61-95). ``txt``/``mask``: (B, O, X);
+    returns per-option MLM logits (B, O, X, V)."""
+
+    def setup_heads(self):
+        self.fc_mtm = BertMLMHead(self.config.fusion, dtype=self.dtype,
+                                  name="fc_mtm")
+
+    def __call__(self, img, txt, mask, deterministic: bool = True):
+        b, o, x = txt.shape
+        cls_pos = _cls_pos(img.shape, self.config.size_patch)
+        fi, mi, ft, mt = self.go_feat(img, txt.reshape(b * o, x),
+                                      mask.reshape(b * o, x),
+                                      deterministic=deterministic)
+        fi = jnp.repeat(fi, o, axis=0)
+        mi = jnp.repeat(mi, o, axis=0)
+        out, _ = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
+        logits = self.fc_mtm(out[:, cls_pos:])
+        return logits.reshape(b, o, x, -1)
+
+
+def qamc_mlm_head_accuracy(logits, mask_ans, true_token_id: int,
+                           false_token_id: int):
+    """Per-option true/false renormalization then argmax over options
+    (ref: main_qamc_tsv_mlm_head.py:112-122). logits (B, O, X, V),
+    mask_ans (B, O, X) with the true/false token id at the [MASK] slot."""
+    import numpy as np
+    logits = np.asarray(logits)
+    mask_ans = np.asarray(mask_ans)
+    b, o, x, _ = logits.shape
+    accs = []
+    for i in range(b):
+        scores, truth = [], []
+        for j in range(o):
+            pos = np.where(mask_ans[i, j] != -1)[0]
+            if len(pos) == 0:
+                scores.append(-np.inf)
+                truth.append(False)
+                continue
+            p_true = logits[i, j, pos[0], true_token_id]
+            p_false = logits[i, j, pos[0], false_token_id]
+            scores.append(p_true / (p_true + p_false + 1e-9))
+            truth.append(int(mask_ans[i, j, pos[0]]) == true_token_id)
+        pred = int(np.argmax(scores))
+        ans = int(np.argmax(truth)) if any(truth) else -1
+        accs.append(float(pred == ans))
+    return accs
+
+
 class VioletQAOE(VioletBase):
     """Open-ended QA with an answer-vocab classifier
     (ref: main_qaoe.py:41-57)."""

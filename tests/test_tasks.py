@@ -172,3 +172,28 @@ def test_captioning_train_and_generate():
         {"params": p}, _img(b), max_len=6, decode="sample", top_k=5,
         top_p=0.9, rng=jax.random.PRNGKey(1), method=model.generate))(params)
     assert np.asarray(toks2).shape == (b, 6)
+
+
+def test_qamc_mlm_head_variant():
+    from empirical_mvm_tpu.models.tasks import (VioletQAMCMLMHead,
+                                                qamc_mlm_head_accuracy)
+    cfg = _cfg()
+    model = VioletQAMCMLMHead(config=cfg)
+    b, o = 2, cfg.size_option
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, o, 8)))
+    mask = jnp.ones((b, o, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b), txt,
+                                        mask)["params"])()
+    out = jax.jit(lambda p: model.apply({"params": p}, _img(b), txt,
+                                        mask))(params)
+    assert out.shape == (b, o, 8, TINY_BERT.vocab_size)
+
+    # metric: [MASK] at pos 3 of each option; true token 10, false 11
+    logits = np.zeros((1, 3, 8, 50), np.float32)
+    mask_ans = np.full((1, 3, 8), -1, np.int64)
+    mask_ans[0, :, 3] = [11, 10, 11]       # option 1 is 'true'
+    logits[0, 1, 3, 10] = 5.0              # model favors true @ option 1
+    logits[0, 0, 3, 11] = 5.0
+    logits[0, 2, 3, 11] = 5.0
+    accs = qamc_mlm_head_accuracy(logits, mask_ans, 10, 11)
+    assert accs == [1.0]

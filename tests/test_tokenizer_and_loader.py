@@ -138,3 +138,10 @@ def test_meta_loader_deterministic_mixing():
     seq2 = [t for t, _ in zip((t for t, _ in iter(ml2)), range(20))]
     assert seq1 == seq2                        # same schedule on every host
     assert seq1.count("a") > seq1.count("b")   # respects 3:1 weighting
+
+
+def test_loader_limit_samples():
+    ds = _ToyDS(20)
+    dl = ShardedBatchLoader(ds, 2, shuffle=False, limit_samples=6)
+    batches = list(dl)
+    assert len(batches) == 3  # 6 samples / batch 2
