@@ -23,9 +23,12 @@ import numpy as np
 
 from empirical_mvm_tpu.cli import common
 from empirical_mvm_tpu.data.datasets import (QAMCDataset, QAMCGenDataset,
-                                             QAOEDataset, QAOEMLMDataset)
+                                             QAMCMLMDataset, QAOEDataset,
+                                             QAOEMLMDataset)
 from empirical_mvm_tpu.models.tasks import (VioletQAMC, VioletQAMCGen,
-                                            VioletQAOE, VioletQAOEMLMHead)
+                                            VioletQAMCMLMHead, VioletQAOE,
+                                            VioletQAOEMLMHead,
+                                            qamc_mlm_head_accuracy)
 from empirical_mvm_tpu.train.agent import (QAMCAgent, QAMCGenAgent, QAOEAgent,
                                            QAOEMLMAgent)
 from empirical_mvm_tpu.train.evaluators import (qamc_accuracy,
@@ -38,6 +41,8 @@ def build(mode: str, cfg, tokzr, img_src, txt):
     mk = {
         "qamc": (QAMCDataset, VioletQAMC, QAMCAgent, {"fc": "score_head"}),
         "qamc-gen": (QAMCGenDataset, VioletQAMCGen, QAMCGenAgent,
+                     {"fc_mtm": "mlm_head"}),
+        "qamc-mlm": (QAMCMLMDataset, VioletQAMCMLMHead, QAMCGenAgent,
                      {"fc_mtm": "mlm_head"}),
         "qaoe": (QAOEDataset, VioletQAOE, QAOEAgent, {"fc": "score_head"}),
         "qaoe-mlm": (QAOEMLMDataset, VioletQAOEMLMHead, QAOEMLMAgent,
@@ -66,8 +71,8 @@ def build(mode: str, cfg, tokzr, img_src, txt):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
-                    choices=["qamc", "qamc-gen", "qaoe", "qaoe-mlm",
-                             "qaoe-fib"])
+                    choices=["qamc", "qamc-gen", "qamc-mlm", "qaoe",
+                             "qaoe-mlm", "qaoe-fib"])
     ap.add_argument("--config", required=True)
     ap.add_argument("--path_ckpt", default=None)
     args, rest = ap.parse_known_args()
@@ -89,7 +94,7 @@ def main():
 
     def init_fn():
         rng = jax.random.PRNGKey(cfg.train.seed)
-        if args.mode == "qamc":
+        if args.mode in ("qamc", "qamc-mlm"):
             txt_shape, mask_shape = (b, o, x), (b, o, x)
         else:
             txt_shape, mask_shape = (b, x), (b, x)
@@ -109,6 +114,11 @@ def main():
                                                 db["mask"]))[:n_valid]
             if args.mode == "qamc":
                 accs.append(qamc_accuracy(out, np.asarray(batch["ans"])))
+            elif args.mode == "qamc-mlm":
+                accs.extend(qamc_mlm_head_accuracy(
+                    out, np.asarray(batch["mask_ans"]),
+                    datasets["train"].true_token_id,
+                    datasets["train"].false_token_id))
             elif args.mode == "qamc-gen":
                 accs.extend(qamc_gen_accuracy(
                     out, np.asarray(batch["txt"]), tokzr.mask_token_id,

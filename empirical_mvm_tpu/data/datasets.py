@@ -167,6 +167,47 @@ class QAMCDataset(DatasetBase):
                 "ans": np.int32(item["answer"])}
 
 
+class QAMCMLMDataset(DatasetBase):
+    """MLM-head MC: per-option "question option [MASK]" rows with true/false
+    answers at the mask (ref: main_qamc_tsv_mlm_head.py:9-54)."""
+
+    def __init__(self, cfg, split, tokzr, img_source: TsvImageSource,
+                 txt: list[dict]):
+        super().__init__(cfg, split, tokzr)
+        self.img_source = img_source
+        self.txt = txt
+        self.size_option = cfg.model.size_option
+        self.true_token_id = tokzr.convert_tokens_to_ids(["true"])[0]
+        self.false_token_id = tokzr.convert_tokens_to_ids(["false"])[0]
+
+    def __len__(self):
+        return len(self.txt)
+
+    def __getitem__(self, idx: int):
+        item = self.txt[idx]
+        q = item["question"]
+        ans_idx = int(item["answer"])
+        txts, masks, mask_ans = [], [], []
+        for i in range(self.size_option):
+            opt = item[f"option_{i}"]
+            s = f"{q} {opt}" if q else opt
+            # fixed-length encode, then append [MASK] (ref :13-16 appends
+            # the mask token after the standard encoding)
+            t, m = tok.str2txt_with_mask_tok(self.tokzr, s, self.size_txt,
+                                             mask_pos="append")
+            ma = np.full_like(t, -1)
+            ans_id = (self.true_token_id if i == ans_idx
+                      else self.false_token_id)
+            ma[t == self.tokzr.mask_token_id] = ans_id
+            txts.append(t)
+            masks.append(m)
+            mask_ans.append(ma)
+        bufs = self.img_source.frames(item["video"])
+        img = self.decode_clip(bufs) if bufs else self.zero_clip()
+        return {"img": img, "txt": np.stack(txts), "mask": np.stack(masks),
+                "mask_ans": np.stack(mask_ans), "ans": np.int32(ans_idx)}
+
+
 class QAMCGenDataset(DatasetBase):
     """Generative MC: options inside the prompt, [MASK] predicts the digit
     (ref: main_qamc_tsv_mlm_gen_ans_idx.py:8-81)."""

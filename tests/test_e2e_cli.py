@@ -96,3 +96,14 @@ def test_cli_pretrain(synth_env):
     run_dir = _latest_run_dir(str(tmp / "out"))
     assert any("pretrain" in f and f.endswith(".msgpack")
                for f in os.listdir(run_dir))
+
+
+def test_cli_qamc_mlm(synth_env):
+    tmp = synth_env
+    synth_data.make_downstream(str(tmp / "data"), "tgif", "qamc-task",
+                               kind="qamc")
+    cfg_path = _write_cfg(tmp, "qamc", "qamc-task", "tgif")
+    from empirical_mvm_tpu.cli import qa
+    _run_cli(qa.main, ["qa", "--mode", "qamc-mlm", "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    assert any(f.endswith(".msgpack") for f in os.listdir(run_dir))
