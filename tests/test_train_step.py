@@ -234,3 +234,26 @@ def test_save_and_resume_train_state(tmp_path):
         f.write(b"garbage" if isinstance(b"garbage", bytes) else b"x")
     restored2 = load_train_state(path, template)
     assert int(restored2.step) == 2
+
+
+def test_pretrain_am_masking_end_to_end():
+    """'am' masking runs the extra attention forward inside the step
+    (ref main_pretrain.py:320-343)."""
+    cfg = _cfg()
+    model = VioletPretrain(config=cfg, mvm_target=("pixel",),
+                           pretrain_masks=("am", "rm"))
+    batch = _batch(b=4)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda: model.init(
+        rngs, jnp.asarray(batch["img"]), jnp.asarray(batch["txt"]),
+        jnp.asarray(batch["mask"]), vq=jnp.asarray(batch["vq"]),
+        method=model.losses))()
+    ls = jax.jit(lambda v: model.apply(
+        v, jnp.asarray(batch["img"]), jnp.asarray(batch["txt"]),
+        jnp.asarray(batch["mask"]), vq=jnp.asarray(batch["vq"]),
+        method=model.losses,
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "mask": jax.random.PRNGKey(4)}))(variables)
+    for k, v in ls.items():
+        assert np.isfinite(float(v)), k
