@@ -194,7 +194,7 @@ class WindowAttention3D(nn.Module):
                 nw = 1
             x = fused_window_attention(
                 q, k, v, bias, mask_arr, nw, float(scale),
-                interpret=(jax.default_backend() != "tpu"))
+                jax.default_backend() != "tpu")
         else:
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
                               preferred_element_type=jnp.float32)

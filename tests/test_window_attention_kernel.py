@@ -46,3 +46,33 @@ def test_swin_parity_with_pallas_path():
     cfg = SwinConfig(embed_dim=32, depths=(2, 2), num_heads=(2, 4),
                      drop_path_rate=0.0, use_pallas_attention=True)
     _parity_case(cfg, (2, 4, 64, 64))
+
+
+def test_kernel_vjp_matches_reference_grads():
+    """Custom-VJP backward (recompute in VMEM) vs autodiff of the XLA path."""
+    rs = np.random.RandomState(0)
+    nh, n, hd, nw, b = 4, 49, 16, 4, 2
+    b_ = b * nw
+    q = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    k = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    v = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
+    mask = np.zeros((nw, n, n), np.float32)
+    mask[1::2, :10, 10:] = -100.0
+    mask = jnp.asarray(mask)
+    scale = hd ** -0.5
+    tgt = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+
+    def loss_pal(q, k, v, bias):
+        o = fused_window_attention(q, k, v, bias, mask, nw, scale, True)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        o = window_attention_reference(q, k, v, bias, mask, nw, scale)
+        return jnp.sum((o - tgt) ** 2)
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b2, name in zip(g_pal, g_ref, "qkv b"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=3e-4, rtol=1e-3, err_msg=name)
