@@ -43,6 +43,30 @@ def parse_cli(description: str) -> RunConfig:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            size_epoch=args.size_epoch))
+    return adopt_ckpt_args(cfg)
+
+
+# architecture keys re-adopted from the checkpoint's run dir so eval uses the
+# training-time model shape (ref: utils/args.py:248-277 update_args)
+_ADOPT_KEYS = ("vis_backbone", "vis_backbone_size", "temporal_fusion",
+               "txt_backbone_embed_only", "max_size_frame", "max_size_patch")
+
+
+def adopt_ckpt_args(cfg: RunConfig) -> RunConfig:
+    if not cfg.path_ckpt:
+        return cfg
+    args_json = os.path.join(os.path.dirname(cfg.path_ckpt), "args.json")
+    if not os.path.exists(args_json):
+        return cfg
+    import json
+    with open(args_json) as f:
+        trained = json.load(f)
+    model_args = trained.get("model", trained)  # our nested or ref-flat form
+    overrides = {k: model_args[k] for k in _ADOPT_KEYS if k in model_args}
+    if overrides:
+        logger.info("adopting model args from %s: %s", args_json, overrides)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **overrides))
     return cfg
 
 

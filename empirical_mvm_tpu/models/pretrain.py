@@ -224,12 +224,16 @@ class VioletPretrain(VioletBase):
         (ref: Agent_Pretrain.masking at main_pretrain.py:276-372,
         step at :555-569, calc_mvm_loss at :374-553).
 
-        ``img`` is the UNMASKED normalized clip; masking happens here, inside
-        the jitted program, so the input pipeline ships raw clips only.
+        ``img`` is the UNMASKED clip — fp32 ImageNet-normalized or raw
+        uint8 (normalized here on device, quartering host->device bytes);
+        masking happens here, inside the jitted program.
         """
         from empirical_mvm_tpu.data.masking import apply_masking
+        from empirical_mvm_tpu.ops.preprocess import maybe_normalize
         from empirical_mvm_tpu.train.losses import (
             cross_entropy_ignore, masked_l1)
+
+        img = maybe_normalize(img)
 
         k_mask = self.make_rng("mask")
         k_neg = self.make_rng("mask")

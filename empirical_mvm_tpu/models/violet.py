@@ -63,6 +63,8 @@ class EncVideo(nn.Module):
 
     def __call__(self, img, vt_mask: Optional[jax.Array] = None,
                  deterministic: bool = True):
+        from empirical_mvm_tpu.ops.preprocess import maybe_normalize
+        img = maybe_normalize(img)      # accept raw uint8 clips (on-device norm)
         b, t, hh, ww, _ = img.shape
         h, w = hh // 32, ww // 32
         f = self.swin(img, deterministic=deterministic)        # (B,T,h,w,latent)

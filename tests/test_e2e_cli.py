@@ -107,3 +107,14 @@ def test_cli_qamc_mlm(synth_env):
     _run_cli(qa.main, ["qa", "--mode", "qamc-mlm", "--config", cfg_path])
     run_dir = _latest_run_dir(str(tmp / "out"))
     assert any(f.endswith(".msgpack") for f in os.listdir(run_dir))
+
+
+def test_cli_caption(synth_env):
+    tmp = synth_env
+    synth_data.make_downstream(str(tmp / "data"), "msrvtt", "msrvtt-caption",
+                               kind="retrieval")  # caption pairs = retrieval pairs
+    cfg_path = _write_cfg(tmp, "caption", "msrvtt-caption", "msrvtt")
+    from empirical_mvm_tpu.cli import caption
+    _run_cli(caption.main, ["caption", "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    assert any(f.endswith(".msgpack") for f in os.listdir(run_dir))

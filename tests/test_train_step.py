@@ -257,3 +257,29 @@ def test_pretrain_am_masking_end_to_end():
               "mask": jax.random.PRNGKey(4)}))(variables)
     for k, v in ls.items():
         assert np.isfinite(float(v)), k
+
+
+def test_pretrain_accepts_uint8_clips():
+    """Raw uint8 clips normalize on device (ops/preprocess.py) and give the
+    same losses as host-normalized fp32 input."""
+    from empirical_mvm_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    cfg = _cfg()
+    model = VioletPretrain(config=cfg, mvm_target=("pixel",),
+                           pretrain_masks=("rm",))
+    rs = np.random.RandomState(0)
+    u8 = rs.randint(0, 256, (2, 2, 64, 64, 3)).astype(np.uint8)
+    f32 = ((u8.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+    txt = jnp.asarray(rs.randint(5, 200, (2, 8)).astype(np.int32))
+    mask = jnp.ones((2, 8), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda: model.init(
+        rngs, jnp.asarray(f32), txt, mask, method=model.losses))()
+    run = lambda im: jax.jit(lambda v: model.apply(
+        v, im, txt, mask, method=model.losses,
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "mask": jax.random.PRNGKey(4)}))(variables)
+    ls_f = run(jnp.asarray(f32))
+    ls_u = run(jnp.asarray(u8))
+    for k in ls_f:
+        assert float(ls_f[k]) == pytest.approx(float(ls_u[k]), rel=1e-4), k
