@@ -103,24 +103,22 @@ def _head_tile(nh: int, n: int) -> int:
 
 def _fwd_pallas(q, k, v, bias, mask, n_windows, scale, interpret):
     b_, nh, n, hd = q.shape
+    hb = _head_tile(nh, n)
+    n_ht = nh // hb
     flops = 2 * 2 * b_ * nh * n * n * hd
+    qkv_spec = pl.BlockSpec((1, hb, n, hd), lambda ht, b: (b, ht, 0, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
-        grid=(b_,),
+        grid=(n_ht, b_),
         in_specs=[
-            pl.BlockSpec((1, nh, n, hd), lambda b: (b, 0, 0, 0),
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((hb, n, n), lambda ht, b: (ht, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh, n, hd), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh, n, hd), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b: (b % n_windows, 0, 0),
+            pl.BlockSpec((1, n, n), lambda ht, b: (b % n_windows, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nh, n, hd), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
