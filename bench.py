@@ -80,18 +80,26 @@ def main():
     batch_size = None
     step = state = batch = None
     for bs in (16, 8, 4):
-        try:
-            step, state, batch = build(bs)
-            rng = jax.random.PRNGKey(1)
-            state, ls = step(state, batch, rng)   # compile + step 1
-            jax.block_until_ready(ls)
-            batch_size = bs
+        # two attempts per size: the tunnel's remote-compile service
+        # occasionally drops the connection mid-result
+        for attempt in range(2):
+            try:
+                step, state, batch = build(bs)
+                rng = jax.random.PRNGKey(1)
+                state, ls = step(state, batch, rng)   # compile + step 1
+                jax.block_until_ready(ls)
+                batch_size = bs
+                break
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+                    break                              # try a smaller batch
+                if attempt == 0:
+                    continue                           # transient: retry once
+                raise
+        if batch_size is not None:
             break
-        except Exception as e:  # noqa: BLE001 - OOM fallback
-            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
-                continue
-            raise
-    assert batch_size is not None, "all batch sizes OOMed"
+    assert batch_size is not None, "no batch size compiled"
 
     rng = jax.random.PRNGKey(2)
     n_warm, n_meas = 3, 10

@@ -40,6 +40,7 @@ class SwinConfig:
     patch_norm: bool = True
     remat: bool = False     # jax.checkpoint each block (memory for FLOPs)
     use_pallas_attention: bool = False  # fused window-attention kernel (TPU)
+    final_norm: bool = True  # HF 2D Swin hidden_states[-1] is pre-norm
 
     @property
     def num_features(self) -> int:

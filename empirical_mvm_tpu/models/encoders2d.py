@@ -45,8 +45,12 @@ SWIN2D_SIZES = {
 
 def swin2d_config(size: str) -> SwinConfig:
     dim, depths, heads = SWIN2D_SIZES[size]
+    # final_norm=False: the reference consumes HF hidden_states[-1], which is
+    # the LAST STAGE output BEFORE SwinModel's final LayerNorm
+    # (ref: visbackbone/swin.py:75-77, main_pretrain.py:537)
     return SwinConfig(patch_size=(1, 4, 4), embed_dim=dim, depths=depths,
-                      num_heads=heads, window_size=(1, 7, 7))
+                      num_heads=heads, window_size=(1, 7, 7),
+                      final_norm=False)
 
 
 class _PosEmbeds(nn.Module):

@@ -92,6 +92,57 @@ def swin3d_params_from_torch(
     return tree
 
 
+def swin2d_params_from_hf(sd: Mapping[str, np.ndarray],
+                          depths: tuple[int, ...],
+                          prefix: str = "") -> Params:
+    """HF ``transformers.SwinModel`` state_dict -> the param tree of our
+    SwinTransformer3D with ``swin2d_config`` (patch (1,4,4), window (1,7,7)).
+
+    A 2D Swin is exactly the 3D module with temporal extent 1: the (169, nH)
+    relative-position table and the (dh+6)*13+(dw+6) index layout coincide
+    with the 3D formula at wd=1 (see video_swin._relative_position_index).
+    HF keeps separate q/k/v projections; they concatenate into our fused qkv.
+    The final ``layernorm`` is intentionally NOT mapped — the reference
+    consumes ``hidden_states[-1]`` which is pre-norm (visbackbone/swin.py:75).
+    """
+    p = prefix
+    tree: Params = {}
+    w = sd[f"{p}embeddings.patch_embeddings.projection.weight"]  # (E,3,4,4)
+    _set(tree, "patch_embed_proj_kernel",
+         np.ascontiguousarray(w.transpose(2, 3, 1, 0))[None])    # (1,4,4,3,E)
+    _set(tree, "patch_embed_proj_bias",
+         sd[f"{p}embeddings.patch_embeddings.projection.bias"])
+    _layernorm(tree, "patch_embed_norm", sd, f"{p}embeddings.norm")
+
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            tb = f"{p}encoder.layers.{i}.blocks.{j}"
+            fb = f"layers_{i}.blocks_{j}"
+            _layernorm(tree, f"{fb}.norm1", sd, f"{tb}.layernorm_before")
+            _layernorm(tree, f"{fb}.norm2", sd, f"{tb}.layernorm_after")
+            _set(tree, f"{fb}.attn.relative_position_bias_table",
+                 sd[f"{tb}.attention.self.relative_position_bias_table"])
+            qw = sd[f"{tb}.attention.self.query.weight"]
+            kw = sd[f"{tb}.attention.self.key.weight"]
+            vw = sd[f"{tb}.attention.self.value.weight"]
+            _set(tree, f"{fb}.attn.qkv.kernel",
+                 np.ascontiguousarray(np.concatenate([qw, kw, vw], 0).T))
+            _set(tree, f"{fb}.attn.qkv.bias",
+                 np.concatenate([sd[f"{tb}.attention.self.query.bias"],
+                                 sd[f"{tb}.attention.self.key.bias"],
+                                 sd[f"{tb}.attention.self.value.bias"]], 0))
+            _linear(tree, f"{fb}.attn.proj", sd,
+                    f"{tb}.attention.output.dense")
+            _linear(tree, f"{fb}.mlp.fc1", sd, f"{tb}.intermediate.dense")
+            _linear(tree, f"{fb}.mlp.fc2", sd, f"{tb}.output.dense")
+        if f"{p}encoder.layers.{i}.downsample.norm.weight" in sd:
+            _layernorm(tree, f"layers_{i}.downsample.norm", sd,
+                       f"{p}encoder.layers.{i}.downsample.norm")
+            _linear(tree, f"layers_{i}.downsample.reduction", sd,
+                    f"{p}encoder.layers.{i}.downsample.reduction", bias=False)
+    return tree
+
+
 def bert_embeddings_params_from_torch(sd: Mapping[str, np.ndarray],
                                       prefix: str) -> Params:
     """HF BertEmbeddings state_dict -> our BertEmbeddings param tree."""

@@ -425,5 +425,6 @@ class SwinTransformer3D(nn.Module):
                 name=f"layers_{i}",
             )(x, deterministic=deterministic)
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        if cfg.final_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x

@@ -53,3 +53,38 @@ def test_r50_mean():
 
 def test_merlot():
     _run("merlot", "concat", expect_t=2)
+
+
+def test_swin2d_hf_weight_import_parity():
+    """Our swin2d (3D module at T=1) must reproduce HF SwinModel's
+    hidden_states[-1] (pre-final-norm) with imported weights."""
+    import torch
+    import transformers
+    from empirical_mvm_tpu.models.torch_import import swin2d_params_from_hf
+    from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
+
+    hf_cfg = transformers.SwinConfig(
+        image_size=64, patch_size=4, embed_dim=24, depths=[2, 2],
+        num_heads=[2, 4], window_size=7, drop_path_rate=0.0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = transformers.SwinModel(hf_cfg, add_pooling_layer=False)
+    hf.eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = SwinConfig(patch_size=(1, 4, 4), embed_dim=24, depths=(2, 2),
+                     num_heads=(2, 4), window_size=(1, 7, 7),
+                     drop_path_rate=0.0, final_norm=False)
+    params = swin2d_params_from_hf(sd, cfg.depths)
+    model = SwinTransformer3D(config=cfg)
+
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                 output_hidden_states=True)
+        ref = out.hidden_states[-1].numpy()            # (B, L, C) pre-norm
+    y = model.apply({"params": params}, jnp.asarray(x[:, None]))  # T=1
+    y = np.asarray(y)                                  # (B, 1, h, w, C)
+    y = y.reshape(y.shape[0], -1, y.shape[-1])
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(y, ref, atol=3e-4, rtol=1e-3)
