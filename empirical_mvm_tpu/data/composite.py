@@ -13,7 +13,6 @@ import json
 import logging
 import os.path as op
 import random
-from typing import Any
 
 import numpy as np
 import yaml

@@ -22,8 +22,6 @@ Design notes (TPU-native, documented deviations):
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -15,14 +15,14 @@ TPU-first deviations:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from empirical_mvm_tpu.models.bert import BertMLMHead
-from empirical_mvm_tpu.models.violet import ScoreHead, VioletBase, joint_attn_bias
+from empirical_mvm_tpu.models.violet import ScoreHead, VioletBase
 
 
 def pixel_shuffle_tokens(x: jax.Array, r: int, out_ch: int) -> jax.Array:

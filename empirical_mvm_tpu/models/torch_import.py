@@ -12,7 +12,6 @@ no torch dependency and works from saved ``.npz`` conversions too).
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 from typing import Any, Mapping
 

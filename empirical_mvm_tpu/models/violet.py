@@ -16,7 +16,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

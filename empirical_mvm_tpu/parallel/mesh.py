@@ -15,7 +15,6 @@ their largest dimension over ``data`` and XLA all-gathers them just-in-time.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

@@ -20,10 +20,9 @@ import math
 import os
 import time
 from collections import defaultdict
-from typing import Any, Callable, Iterable
+from typing import Callable, Iterable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from empirical_mvm_tpu.core.config import RunConfig

@@ -12,7 +12,7 @@ COCO toolkit after PTB tokenization.
 from __future__ import annotations
 
 import math
-from collections import Counter, defaultdict
+from collections import Counter
 from typing import Mapping, Sequence
 
 

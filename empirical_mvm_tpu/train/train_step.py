@@ -10,13 +10,12 @@ automatically.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from empirical_mvm_tpu.parallel.mesh import batch_sharding, replicated
 
