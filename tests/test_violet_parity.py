@@ -136,3 +136,69 @@ def test_violet_trunk_parity():
     vtm_j = ScoreHead(hidden_size=d).apply(
         {"params": params["fc"]}, out_j[:, (1 + h * w) * t, :])
     np.testing.assert_allclose(np.asarray(vtm_j), vtm_t, atol=3e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_torch_pt_checkpoint_ingestion(tmp_path):
+    """A reference-style .pt state dict round-trips through
+    load_torch_violet_ckpt into a usable param tree (the release-checkpoint
+    path, ref model.py:295-353)."""
+    import torch
+    from tests.ref_loader import load_ref_video_swin
+    from empirical_mvm_tpu.train.checkpoint import load_torch_violet_ckpt
+
+    cfg = _tiny_model_cfg()
+    ref_mod = load_ref_video_swin()
+    torch.manual_seed(3)
+    swin_t = ref_mod.SwinTransformer3D(
+        pretrained=None, patch_size=_TINY_SWIN.patch_size,
+        embed_dim=_TINY_SWIN.embed_dim, depths=list(_TINY_SWIN.depths),
+        num_heads=list(_TINY_SWIN.num_heads),
+        window_size=_TINY_SWIN.window_size, drop_path_rate=0.0)
+    import transformers
+    hf_cfg = transformers.BertConfig(
+        vocab_size=TINY_BERT.vocab_size, hidden_size=TINY_BERT.hidden_size,
+        num_hidden_layers=TINY_BERT.num_hidden_layers,
+        num_attention_heads=TINY_BERT.num_attention_heads,
+        intermediate_size=TINY_BERT.intermediate_size,
+        max_position_embeddings=TINY_BERT.max_position_embeddings)
+    bert = transformers.BertForMaskedLM(hf_cfg)
+
+    sd = {}
+    for k, v in swin_t.state_dict().items():
+        sd[f"enc_img.swin.{k}"] = v
+    d = cfg.hidden_size
+    fc = torch.nn.Linear(_TINY_SWIN.num_features, d)
+    sd["enc_img.fc.weight"] = fc.weight.data
+    sd["enc_img.fc.bias"] = fc.bias.data
+    for k in ("emb_cls", "emb_odr"):
+        sd[f"enc_img.{k}"] = torch.randn(1, 1, 1, d) * 0.02
+    # oversized pos embeddings exercise the slice-on-load path
+    # (ref model.py:342-353)
+    sd["enc_img.emb_pos"] = torch.randn(1, 1, 1 + 16 ** 2, d) * 0.02
+    sd["enc_img.emb_len"] = torch.randn(1, 8, 1, d) * 0.02
+    sd["enc_img.norm.weight"] = torch.ones(d)
+    sd["enc_img.norm.bias"] = torch.zeros(d)
+    for k, v in bert.bert.embeddings.state_dict().items():
+        sd[f"enc_txt.emb_txt.{k}"] = v
+    for k, v in bert.bert.encoder.state_dict().items():
+        sd[f"trsfr.{k}"] = v
+    for k, v in bert.cls.state_dict().items():
+        sd[f"fc_mtm.{k}"] = v
+
+    path = str(tmp_path / "ckpt_violet_pretrain.pt")
+    torch.save(sd, path)
+
+    params = load_torch_violet_ckpt(path, cfg, heads={"fc_mtm": "mlm_head"})
+    assert params["enc_img"]["emb_pos"].shape == (1, 1, 1 + 14 ** 2, d)
+    assert params["enc_img"]["emb_len"].shape == (1, 6, 1, d)
+
+    # loaded params drive a real forward
+    model = VioletBase(config=cfg)
+    rs = np.random.RandomState(0)
+    img = rs.rand(1, 2, 64, 64, 3).astype(np.float32)
+    txt = rs.randint(0, TINY_BERT.vocab_size, (1, 8))
+    out = model.apply({"params": {k: v for k, v in params.items()
+                                  if k in ("enc_img", "enc_txt", "trsfr")}},
+                      img, txt, np.ones((1, 8), np.int64))
+    assert np.isfinite(np.asarray(out)).all()
