@@ -106,3 +106,13 @@ def test_shift_mask_is_block_diagonal_free():
     # zero shift in one dim must not blow up (slice(-0) == full slice)
     m2 = _shift_attn_mask((4, 14, 14), (4, 7, 7), (0, 3, 3))
     assert m2.shape[1] == 4 * 7 * 7
+
+
+@requires_reference
+def test_swin_tiny_5frame_224_cpu_parity():
+    """BASELINE.json tracked config 1: Swin-Tiny forward of one 5-frame 224^2
+    clip on CPU vs the torch reference."""
+    cfg = SwinConfig.tiny()
+    cfg = SwinConfig(embed_dim=cfg.embed_dim, depths=cfg.depths,
+                     num_heads=cfg.num_heads, drop_path_rate=0.0)
+    _parity_case(cfg, (1, 5, 224, 224), atol=5e-4)
