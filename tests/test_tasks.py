@@ -197,3 +197,25 @@ def test_qamc_mlm_head_variant():
     logits[0, 2, 3, 11] = 5.0
     accs = qamc_mlm_head_accuracy(logits, mask_ans, 10, 11)
     assert accs == [1.0]
+
+
+def test_joint_seq2seq_mask_semantics():
+    """joint_attn_bias('seq2seq') must reproduce ref model.py:192-198: every
+    row sees valid video tokens; text attends causally; video rows never see
+    text."""
+    from empirical_mvm_tpu.models.violet import joint_attn_bias
+    b, lv, lt = 2, 3, 4
+    rs = np.random.RandomState(0)
+    mask_img = jnp.asarray(rs.randint(0, 2, (b, lv)))
+    mask_img = mask_img.at[:, 0].set(1)
+    mask_txt = jnp.ones((b, lt), jnp.int32)
+    bias = np.asarray(joint_attn_bias(mask_img, mask_txt, "seq2seq"))[:, 0]
+    l = lv + lt
+    # expected mask per reference construction
+    exp = np.zeros((b, l, l), np.int64)
+    mi = np.asarray(mask_img)
+    for i in range(b):
+        exp[i, :, :lv] = mi[i][None, :]
+        exp[i, lv:, lv:] = np.tril(np.ones((lt, lt)))
+    allowed = bias > -1.0   # additive bias: 0 allowed, -inf-ish blocked
+    assert (allowed == (exp > 0)).all()
