@@ -82,6 +82,8 @@ def main():
     steps_per_ep = sum(len(l) for l, _ in loaders.values())
     num_steps = steps_per_ep * tc.size_epoch
     agent = PretrainAgent(cfg, model, params, max_iter=max(num_steps, 1))
+    if agent.resume():
+        num_steps = max(num_steps - agent.global_step, 0)
     agent.run_meta(meta, num_steps, eval_every=max(steps_per_ep // 2, 1))
     agent.save(num_steps, tag="pretrain_final")
 
