@@ -45,19 +45,34 @@ def retrieval_two_stage_eval(
     score = jax.jit(lambda p, fi, mi, ft, mt: model.apply(
         {"params": p}, fi, mi, ft, mt, method=model.score_pairs))
 
-    feats = []
+    # stage 1, batched: group items by clip count (the clip axis is a static
+    # shape) so each jitted encode sees full batches instead of one video at
+    # a time like the reference's DataParallel pass (eval_retrieval.py:100).
     n = len(dataset)
-    for i in range(n):
-        item = dataset.multi_clip_item(i)
-        img = jnp.asarray(item["img"])[None]          # (1, Clips, T, H, W, 3)
-        txt = jnp.asarray(item["txt"])[None]
-        mask = jnp.asarray(item["mask"])[None]
-        fi, mi, ft, mt = enc(params, img, txt, mask)
-        feats.append({"fi": np.asarray(fi[0]), "mi": np.asarray(mi[0]),
-                      "ft": np.asarray(ft[0]), "mt": np.asarray(mt[0]),
-                      "vid": item["vid"], "tid": item["tid"]})
-        if progress and i % 50 == 0:
-            progress(f"stage1 {i}/{n}")
+    items = [dataset.multi_clip_item(i) for i in range(n)]
+    by_clips: dict[int, list[int]] = {}
+    for i, it in enumerate(items):
+        by_clips.setdefault(it["img"].shape[0], []).append(i)
+
+    feats: list[dict] = [None] * n
+    enc_bs = max(chunk_size // 8, 1)
+    done = 0
+    for n_clips, idxs in by_clips.items():
+        for c0 in range(0, len(idxs), enc_bs):
+            sel = idxs[c0:c0 + enc_bs]
+            pad = enc_bs - len(sel)
+            sel_p = sel + [sel[-1]] * pad
+            img = jnp.asarray(np.stack([items[i]["img"] for i in sel_p]))
+            txt = jnp.asarray(np.stack([items[i]["txt"] for i in sel_p]))
+            mask = jnp.asarray(np.stack([items[i]["mask"] for i in sel_p]))
+            fi, mi, ft, mt = enc(params, img, txt, mask)
+            for j, i in enumerate(sel):
+                feats[i] = {"fi": np.asarray(fi[j]), "mi": np.asarray(mi[j]),
+                            "ft": np.asarray(ft[j]), "mt": np.asarray(mt[j]),
+                            "vid": items[i]["vid"], "tid": items[i]["tid"]}
+            done += len(sel)
+            if progress:
+                progress(f"stage1 {done}/{n}")
 
     vids = sorted({f["vid"] for f in feats})
     vid2col = {v: j for j, v in enumerate(vids)}
