@@ -110,10 +110,35 @@ class WordPieceTokenizer:
             start = end
         return pieces
 
+    @property
+    def _special_tokens(self):
+        return (self.cls_token, self.sep_token, self.pad_token,
+                self.mask_token, self.unk_token)
+
     def tokenize(self, text: str) -> list[str]:
+        # keep special tokens intact (HF tokenizers never split them; the
+        # reference inlines " [SEP] " into raw strings, dataset.py:54)
         out = []
-        for word in self._basic_tokenize(text):
-            out.extend(self._wordpiece(word))
+        pieces = [text]
+        for sp in self._special_tokens:
+            nxt = []
+            for p in pieces:
+                if p in self._special_tokens:
+                    nxt.append(p)
+                    continue
+                parts = p.split(sp)
+                for i, q in enumerate(parts):
+                    if i:
+                        nxt.append(sp)
+                    if q:
+                        nxt.append(q)
+            pieces = nxt
+        for p in pieces:
+            if p in self._special_tokens:
+                out.append(p)
+                continue
+            for word in self._basic_tokenize(p):
+                out.extend(self._wordpiece(word))
         return out
 
     def convert_tokens_to_ids(self, tokens: Sequence[str]) -> list[int]:

@@ -139,6 +139,11 @@ class AgentBase:
         save_params(self.state.params, path,
                     meta={"epoch": epoch, "step": self.global_step,
                           "task": self.cfg.task})
+        # log.json beside the checkpoints (ref: agent.py:141)
+        import json
+        with open(os.path.join(self.cfg.path_output, "log.json"), "w") as f:
+            json.dump({k: v for k, v in self.log.items()}, f, indent=2,
+                      default=float)
         logger.info("saved %s", path)
 
     def save_resumable(self, tag: str = "restore") -> None:

@@ -67,11 +67,16 @@ def make_downstream(data_dir: str, ds_name: str, task: str, *,
             if kind == "retrieval":
                 items.append({"video": f"video{v}", "caption": caption(v)})
             elif kind == "qamc":
+                # learnable from text alone: the correct option carries a
+                # marker phrase, so QA models can overfit without having to
+                # memorize random-noise videos
+                ans = v % n_options
                 item = {"video": f"video{v}",
                         "question": "what is the cat doing",
-                        "answer": v % n_options}
+                        "answer": ans}
                 for o in range(n_options):
-                    item[f"option_{o}"] = f"the cat {words[o]}"
+                    item[f"option_{o}"] = ("the cat runs" if o == ans
+                                           else f"a dog sits {words[o]}")
                 items.append(item)
             elif kind == "qaoe":
                 items.append({"video": f"video{v}",

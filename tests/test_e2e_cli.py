@@ -118,3 +118,24 @@ def test_cli_caption(synth_env):
     _run_cli(caption.main, ["caption", "--config", cfg_path])
     run_dir = _latest_run_dir(str(tmp / "out"))
     assert any(f.endswith(".msgpack") for f in os.listdir(run_dir))
+
+
+def test_cli_qa_overfits_tiny_dataset(synth_env):
+    """Correctness-of-gradients signal: ~50 optimizer steps on 6 synthetic
+    QA examples must reach well-above-chance accuracy (chance = 1/3)."""
+    tmp = synth_env
+    synth_data.make_downstream(str(tmp / "data"), "tgif", "overfit-task",
+                               kind="qamc", n_videos=6)
+    # size_txt must keep all options before the [MASK]; batch 2 over 6
+    # examples -> 3 steps/epoch, so 20 epochs ~= 60 optimizer steps
+    cfg_path = _write_cfg(tmp, "qamc", "overfit-task", "tgif",
+                          extra={"size_epoch": 20, "lr": 2e-3,
+                                 "size_txt": 48, "size_batch": 2})
+    from empirical_mvm_tpu.cli import qa
+    _run_cli(qa.main, ["qa", "--mode", "qamc-gen", "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    import json as _json
+    log = _json.load(open(os.path.join(run_dir, "log.json")))
+    accs = [float(a) for a in log.get("ac_vl", [])]
+    assert accs, log
+    assert max(accs) >= 0.66, accs
