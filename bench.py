@@ -86,7 +86,7 @@ def build(batch_size: int):
 def main():
     batch_size = None
     step = state = batch = None
-    for bs in (16, 8, 4):
+    for bs in (32, 16, 8, 4):
         # two attempts per size: the tunnel's remote-compile service
         # occasionally drops the connection mid-result
         for attempt in range(2):

@@ -106,7 +106,8 @@ class EncImgSwin(nn.Module):
                                  with_odr=(self.fusion == "concat"),
                                  dtype=self.dtype, name="embeds")
 
-    def __call__(self, img, vt_mask=None, deterministic: bool = True):
+    def __call__(self, img, odr=None, vt_mask=None,
+                 deterministic: bool = True):
         b, t, hh, ww, _ = img.shape
         h, w = hh // 32, ww // 32
         f = self.swin(img, deterministic=deterministic)   # (B,T,h,w,latent)
@@ -192,7 +193,8 @@ class EncImgR50(nn.Module):
                                  self.config.max_size_patch,
                                  dtype=self.dtype, name="embeds")
 
-    def __call__(self, img, vt_mask=None, deterministic: bool = True):
+    def __call__(self, img, odr=None, vt_mask=None,
+                 deterministic: bool = True):
         b, t, hh, ww, _ = img.shape
         h, w = hh // 32, ww // 32
         f = self.res(img.reshape(b * t, hh, ww, 3))
@@ -230,7 +232,8 @@ class EncImgMerlot(nn.Module):
         self.out_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                      name="out_norm")
 
-    def __call__(self, img, vt_mask=None, deterministic: bool = True):
+    def __call__(self, img, odr=None, vt_mask=None,
+                 deterministic: bool = True):
         b, t, hh, ww, _ = img.shape
         h, w = hh // 32, ww // 32
         f = self.res(img.reshape(b * t, hh, ww, 3))

@@ -61,7 +61,8 @@ class EncVideo(nn.Module):
         self.emb_odr = self.param("emb_odr", init, (1, 1, 1, d))
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
 
-    def __call__(self, img, vt_mask: Optional[jax.Array] = None,
+    def __call__(self, img, odr: Optional[jax.Array] = None,
+                 vt_mask: Optional[jax.Array] = None,
                  deterministic: bool = True):
         from empirical_mvm_tpu.ops.preprocess import maybe_normalize
         img = maybe_normalize(img)      # accept raw uint8 clips (on-device norm)
@@ -75,7 +76,17 @@ class EncVideo(nn.Module):
         cls = jnp.broadcast_to(self.emb_cls.astype(f.dtype), (b, t, 1, d))
         f = jnp.concatenate([cls, f], axis=2)                   # (B,T,1+hw,D)
         f = f + self.emb_pos[:, :, :1 + h * w, :].astype(f.dtype)
-        f = f + self.emb_len[:, :t, :, :].astype(f.dtype)
+        if odr is not None:
+            # frame-order pretext (ref: model.py:61-68): a frame at its true
+            # temporal slot gets its temporal embedding, a shuffled frame
+            # gets the generic order embedding
+            in_place = (odr == jnp.arange(t)[None, :])          # (B, T)
+            emb = jnp.where(in_place[:, :, None, None],
+                            self.emb_len[:, :t, :, :],
+                            self.emb_odr)
+            f = f + emb.astype(f.dtype)
+        else:
+            f = f + self.emb_len[:, :t, :, :].astype(f.dtype)
         f = self.norm(f).reshape(b, t * (1 + h * w), d)
 
         m = jnp.ones((b, t, 1 + h * w), dtype=jnp.int32)
@@ -183,10 +194,10 @@ class VioletBase(nn.Module):
     def setup_heads(self):
         """Overridden by task models."""
 
-    def go_feat(self, img, txt, mask, vt_mask=None, attn_mask_type="full",
-                deterministic: bool = True):
+    def go_feat(self, img, txt, mask, odr=None, vt_mask=None,
+                attn_mask_type="full", deterministic: bool = True):
         """(ref: model.py:174-178)"""
-        feat_img, mask_img = self.enc_img(img, vt_mask=vt_mask,
+        feat_img, mask_img = self.enc_img(img, odr=odr, vt_mask=vt_mask,
                                           deterministic=deterministic)
         feat_txt = self.enc_txt(txt, mask_txt=mask,
                                 attn_mask_type=attn_mask_type,

@@ -202,3 +202,26 @@ def test_torch_pt_checkpoint_ingestion(tmp_path):
                                   if k in ("enc_img", "enc_txt", "trsfr")}},
                       img, txt, np.ones((1, 8), np.int64))
     assert np.isfinite(np.asarray(out)).all()
+
+
+@requires_reference
+def test_encvideo_odr_embedding_parity():
+    """Frame-order embedding (ref model.py:61-68): in-place frames get their
+    temporal embedding, shuffled frames get emb_odr."""
+    import torch
+    from empirical_mvm_tpu.models.violet import EncVideo
+    cfg = _tiny_model_cfg()
+    model = EncVideo(config=cfg)
+    rs = np.random.RandomState(0)
+    img = rs.rand(2, 2, 64, 64, 3).astype(np.float32)
+    import jax
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0),
+                                        img)["params"])()
+    odr = np.array([[0, 1], [1, 0]])  # sample 0 in order, sample 1 shuffled
+    f_odr, _ = model.apply({"params": params}, img, odr=odr)
+    f_plain, _ = model.apply({"params": params}, img)
+    f_odr, f_plain = np.asarray(f_odr), np.asarray(f_plain)
+    # sample 0: all frames in place -> identical to the no-odr path
+    np.testing.assert_allclose(f_odr[0], f_plain[0], atol=1e-6)
+    # sample 1: shuffled -> differs
+    assert np.abs(f_odr[1] - f_plain[1]).max() > 1e-4
