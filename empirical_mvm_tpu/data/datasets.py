@@ -62,6 +62,26 @@ class DatasetBase:
         return np.zeros((self.size_frame, self.size_img, self.size_img, 3),
                         np.float32)
 
+    def partial_txt(self, txt: list[dict]) -> list[dict]:
+        """data_ratio subsetting, grouped by video (ref: dataset.py:40-52):
+        a ratio < 1 keeps that fraction of videos; an integer >= 1 keeps that
+        many videos. Train split only."""
+        ratio = self.cfg.data.data_ratio
+        if self.split != "train" or ratio == 1:
+            return txt
+        assert ratio > 0
+        by_vid: dict[str, list[dict]] = {}
+        for item in txt:
+            by_vid.setdefault(item["video"], []).append(item)
+        vids = list(by_vid)
+        self.rng.shuffle(vids)
+        n = (int(np.ceil(len(vids) * ratio)) if ratio < 1
+             else min(int(ratio), len(vids)))
+        out: list[dict] = []
+        for v in vids[:n]:
+            out.extend(by_vid[v])
+        return out
+
 
 class TsvImageSource:
     """img TSV + id2lineidx lookup (ref: dataset.py:232-246,
@@ -98,8 +118,9 @@ class RetrievalDataset(DatasetBase):
                  txt: list[dict]):
         super().__init__(cfg, split, tokzr)
         self.img_source = img_source
-        self.txt = txt
-        self.gt_txt2vid = {i: item["video"] for i, item in enumerate(txt)}
+        self.txt = self.partial_txt(txt)
+        self.gt_txt2vid = {i: item["video"]
+                           for i, item in enumerate(self.txt)}
 
     def __len__(self):
         return len(self.txt)
@@ -145,7 +166,7 @@ class QAMCDataset(DatasetBase):
                  txt: list[dict]):
         super().__init__(cfg, split, tokzr)
         self.img_source = img_source
-        self.txt = txt
+        self.txt = self.partial_txt(txt)
         self.size_option = cfg.model.size_option
 
     def __len__(self):
@@ -175,7 +196,7 @@ class QAMCMLMDataset(DatasetBase):
                  txt: list[dict]):
         super().__init__(cfg, split, tokzr)
         self.img_source = img_source
-        self.txt = txt
+        self.txt = self.partial_txt(txt)
         self.size_option = cfg.model.size_option
         self.true_token_id = tokzr.convert_tokens_to_ids(["true"])[0]
         self.false_token_id = tokzr.convert_tokens_to_ids(["false"])[0]
@@ -216,7 +237,7 @@ class QAMCGenDataset(DatasetBase):
                  txt: list[dict]):
         super().__init__(cfg, split, tokzr)
         self.img_source = img_source
-        self.txt = txt
+        self.txt = self.partial_txt(txt)
         self.size_option = cfg.model.size_option
         self.ans_tok_ids = tokzr.convert_tokens_to_ids(
             [f"{i}" for i in range(self.size_option)])
@@ -250,7 +271,7 @@ class QAOEDataset(DatasetBase):
                  txt: list[dict], ans2label: dict[str, int]):
         super().__init__(cfg, split, tokzr)
         self.img_source = img_source
-        self.txt = txt
+        self.txt = self.partial_txt(txt)
         self.ans2label = ans2label
         self.label2ans = {v: k for k, v in ans2label.items()}
 

@@ -203,3 +203,26 @@ def test_shard_affinity_partitions_all_rows():
         assert len(shards) == 2          # whole shards per host
         seen.extend(idx.tolist())
     assert sorted(seen) == list(range(40))
+
+
+def test_partial_data_ratio(tmp_path):
+    from empirical_mvm_tpu.core.config import load_run_config
+    from empirical_mvm_tpu.data.datasets import DatasetBase
+
+    class TK:  # minimal tokenizer stub
+        pad_token_id = 0
+
+    txt = [{"video": f"v{i % 5}", "caption": str(i)} for i in range(20)]
+    cfg = load_run_config({"data_ratio": 0.4})
+    ds = DatasetBase(cfg, "train", TK())
+    sub = ds.partial_txt(txt)
+    kept_vids = {it["video"] for it in sub}
+    assert len(kept_vids) == 2            # ceil(5 * 0.4)
+    assert all(it["video"] in kept_vids for it in sub)
+    # integer ratio keeps that many videos
+    cfg2 = load_run_config({"data_ratio": 3})
+    ds2 = DatasetBase(cfg2, "train", TK())
+    assert len({it["video"] for it in ds2.partial_txt(txt)}) == 3
+    # val untouched
+    ds3 = DatasetBase(cfg, "val", TK())
+    assert ds3.partial_txt(txt) == txt
