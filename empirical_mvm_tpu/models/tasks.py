@@ -83,11 +83,49 @@ class VioletRetrieval(VioletBase):
 
 class VioletQAMC(VioletBase):
     """Score-head multiple choice (ref: main_qamc.py:50-98).
-    ``txt``/``mask``: (B, O, X) — question ⊕ option per row."""
+    ``txt``/``mask``: (B, O, X) — question ⊕ option per row.
+
+    ``num_video_tokens > 0`` enables the gumbel video-token selection
+    variant (ref: main_qamc.py:55-83): multi-head key/query scoring followed
+    by hard gumbel-softmax picks a sparse subset of video tokens whose
+    attention mask gates the fusion pass."""
+
+    num_video_tokens: int = -1
+    gumbel_tau: float = 1.0
 
     def setup_heads(self):
-        self.fc = ScoreHead(hidden_size=self.config.hidden_size,
-                            dtype=self.dtype, name="fc")
+        d = self.config.hidden_size
+        self.fc = ScoreHead(hidden_size=d, dtype=self.dtype, name="fc")
+        if self.num_video_tokens > 0:
+            from flax import linen as nn
+            self.vid_key = nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                    name="vid_key")
+            self.vid_query = nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                      name="vid_query")
+
+    def select_vid_token(self, feat_img, mask_img, deterministic=True):
+        """(ref: main_qamc.py:68-83)"""
+        from empirical_mvm_tpu.models.bert import extended_attention_mask
+        b, l, d = feat_img.shape
+        nh = self.num_video_tokens
+        hd = d // nh
+        k = self.vid_key(feat_img).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        q = self.vid_query(feat_img).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(d))
+        scores = scores + extended_attention_mask(mask_img)
+        probs = jax.nn.softmax(scores, axis=-1).sum(axis=-2)   # (B, nh, L)
+        # hard gumbel-softmax with straight-through (torch
+        # F.gumbel_softmax(hard=True) equivalent)
+        g = jax.random.gumbel(self.make_rng("gumbel"), probs.shape) \
+            if not deterministic else 0.0
+        y = jax.nn.softmax((jnp.log(jnp.clip(probs, 1e-20)) + g)
+                           / self.gumbel_tau, axis=-1)
+        hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), l, dtype=y.dtype)
+        y = hard + y - jax.lax.stop_gradient(y)
+        picked = y.sum(axis=1)                                 # (B, L)
+        return (mask_img * (picked > 0)).astype(mask_img.dtype)
 
     def __call__(self, img, txt, mask, deterministic: bool = True):
         b, o, x = txt.shape
@@ -95,6 +133,8 @@ class VioletQAMC(VioletBase):
         fi, mi, ft, mt = self.go_feat(img, txt.reshape(b * o, x),
                                       mask.reshape(b * o, x),
                                       deterministic=deterministic)
+        if self.num_video_tokens > 0:
+            mi = self.select_vid_token(fi, mi, deterministic=deterministic)
         # video feats come out (B, Lv, D) since img wasn't expanded
         fi = jnp.repeat(fi, o, axis=0)
         mi = jnp.repeat(mi, o, axis=0)

@@ -219,3 +219,21 @@ def test_joint_seq2seq_mask_semantics():
         exp[i, lv:, lv:] = np.tril(np.ones((lt, lt)))
     allowed = bias > -1.0   # additive bias: 0 allowed, -inf-ish blocked
     assert (allowed == (exp > 0)).all()
+
+
+def test_qamc_gumbel_token_selection():
+    """num_video_tokens variant (ref main_qamc.py:55-83) selects a sparse
+    video-token mask and still produces (B, O) logits."""
+    cfg = _cfg()
+    model = VioletQAMC(config=cfg, num_video_tokens=4)
+    b, o = 2, cfg.size_option
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, o, 8)))
+    mask = jnp.ones((b, o, 8), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)}
+    params = jax.jit(lambda: model.init(rngs, _img(b), txt,
+                                        mask)["params"])()
+    out = jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), txt, mask, deterministic=False,
+        rngs={"gumbel": jax.random.PRNGKey(2),
+              "dropout": jax.random.PRNGKey(3)}))(params)
+    assert out.shape == (b, o) and np.isfinite(np.asarray(out)).all()
