@@ -142,6 +142,37 @@ def swin2d_params_from_hf(sd: Mapping[str, np.ndarray],
     return tree
 
 
+def resnet50_params_from_torch(sd: Mapping[str, np.ndarray],
+                               prefix: str = "") -> Params:
+    """torchvision resnet50 state_dict -> our ResNet50 trunk param tree
+    (ref: visbackbone/resnet50.py:17-24 keeps children()[:-2]). BatchNorm
+    running stats land in FrozenBatchNorm params (eval-mode teacher)."""
+    p = prefix
+
+    def conv(tp):
+        return {"kernel": np.ascontiguousarray(
+            sd[f"{tp}.weight"].transpose(2, 3, 1, 0))}
+
+    def bn(tp):
+        return {"scale": sd[f"{tp}.weight"], "bias": sd[f"{tp}.bias"],
+                "mean": sd[f"{tp}.running_mean"],
+                "var": sd[f"{tp}.running_var"]}
+
+    tree: Params = {"conv1": conv(f"{p}conv1"), "bn1": bn(f"{p}bn1")}
+    for li, n_blocks in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        for bi in range(n_blocks):
+            tb = f"{p}layer{li}.{bi}"
+            blk: Params = {}
+            for ci in (1, 2, 3):
+                blk[f"conv{ci}"] = conv(f"{tb}.conv{ci}")
+                blk[f"bn{ci}"] = bn(f"{tb}.bn{ci}")
+            if f"{tb}.downsample.0.weight" in sd:
+                blk["down_conv"] = conv(f"{tb}.downsample.0")
+                blk["down_bn"] = bn(f"{tb}.downsample.1")
+            tree[f"layer{li}_{bi}"] = blk
+    return tree
+
+
 def bert_embeddings_params_from_torch(sd: Mapping[str, np.ndarray],
                                       prefix: str) -> Params:
     """HF BertEmbeddings state_dict -> our BertEmbeddings param tree."""

@@ -88,3 +88,87 @@ def test_swin2d_hf_weight_import_parity():
     y = y.reshape(y.shape[0], -1, y.shape[-1])
     assert y.shape == ref.shape
     np.testing.assert_allclose(y, ref, atol=3e-4, rtol=1e-3)
+
+
+def _torch_resnet50_trunk():
+    """Minimal torch ResNet-50 trunk in torchvision's state-dict layout
+    (torchvision itself is not installed in this environment)."""
+    import torch
+    import torch.nn as tnn
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, cin, f, stride=1, project=False):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, f, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(f)
+            self.conv2 = tnn.Conv2d(f, f, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(f)
+            self.conv3 = tnn.Conv2d(f, 4 * f, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(4 * f)
+            self.relu = tnn.ReLU()
+            self.downsample = (tnn.Sequential(
+                tnn.Conv2d(cin, 4 * f, 1, stride, bias=False),
+                tnn.BatchNorm2d(4 * f)) if project else None)
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(idn + y)
+
+    class Trunk(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            cin = 64
+            for li, (f, n, s) in enumerate(((64, 3, 1), (128, 4, 2),
+                                            (256, 6, 2), (512, 3, 2)),
+                                           start=1):
+                blocks = []
+                for bi in range(n):
+                    blocks.append(Bottleneck(cin, f, s if bi == 0 else 1,
+                                             project=(bi == 0)))
+                    cin = 4 * f
+                setattr(self, f"layer{li}", tnn.Sequential(*blocks))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for li in (1, 2, 3, 4):
+                x = getattr(self, f"layer{li}")(x)
+            return x
+
+    return Trunk()
+
+
+def test_resnet50_torch_parity():
+    """Our ResNet50 trunk vs a torch oracle in torchvision layout with
+    imported weights (+ randomized BN stats to exercise FrozenBatchNorm)."""
+    import torch
+    from empirical_mvm_tpu.models.encoders2d import ResNet50
+    from empirical_mvm_tpu.models.torch_import import resnet50_params_from_torch
+
+    torch.manual_seed(0)
+    ref = _torch_resnet50_trunk()
+    with torch.no_grad():   # non-trivial running stats
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = resnet50_params_from_torch(sd)
+
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        feat = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    feat = feat.numpy().transpose(0, 2, 3, 1)
+
+    model = ResNet50()
+    y = np.asarray(jax.jit(lambda p: model.apply({"params": p},
+                                                 jnp.asarray(x)))(params))
+    assert y.shape == feat.shape == (1, 2, 2, 2048)
+    np.testing.assert_allclose(y, feat, atol=2e-3, rtol=1e-2)
