@@ -173,6 +173,34 @@ def resnet50_params_from_torch(sd: Mapping[str, np.ndarray],
     return tree
 
 
+def vit_encoder_params_from_hf(sd: Mapping[str, np.ndarray], prefix: str,
+                               num_layers: int) -> Params:
+    """HF ``ViTModel.encoder`` state_dict -> a tree of ViTBlock params
+    (teachers/dpt.py:ViTBlock — timm layout with fused qkv). Used by the
+    MERLOT encoder (ref: visbackbone/merlot.py:41-49 takes ``vit.encoder``).
+    """
+    tree: Params = {}
+    for i in range(num_layers):
+        tl = f"{prefix}layer.{i}"
+        blk: Params = {}
+        _layernorm(blk, "norm1", sd, f"{tl}.layernorm_before")
+        _layernorm(blk, "norm2", sd, f"{tl}.layernorm_after")
+        qw = sd[f"{tl}.attention.attention.query.weight"]
+        kw = sd[f"{tl}.attention.attention.key.weight"]
+        vw = sd[f"{tl}.attention.attention.value.weight"]
+        _set(blk, "qkv.kernel",
+             np.ascontiguousarray(np.concatenate([qw, kw, vw], 0).T))
+        _set(blk, "qkv.bias",
+             np.concatenate([sd[f"{tl}.attention.attention.query.bias"],
+                             sd[f"{tl}.attention.attention.key.bias"],
+                             sd[f"{tl}.attention.attention.value.bias"]], 0))
+        _linear(blk, "proj", sd, f"{tl}.attention.output.dense")
+        _linear(blk, "fc1", sd, f"{tl}.intermediate.dense")
+        _linear(blk, "fc2", sd, f"{tl}.output.dense")
+        tree[f"vit_{i}"] = blk
+    return tree
+
+
 def bert_embeddings_params_from_torch(sd: Mapping[str, np.ndarray],
                                       prefix: str) -> Params:
     """HF BertEmbeddings state_dict -> our BertEmbeddings param tree."""

@@ -172,3 +172,32 @@ def test_resnet50_torch_parity():
                                                  jnp.asarray(x)))(params))
     assert y.shape == feat.shape == (1, 2, 2, 2048)
     np.testing.assert_allclose(y, feat, atol=2e-3, rtol=1e-2)
+
+
+def test_vit_encoder_hf_parity():
+    """ViTBlock stack vs HF ViTModel.encoder with imported weights."""
+    import torch
+    import transformers
+    from empirical_mvm_tpu.teachers.dpt import ViTBlock
+    from empirical_mvm_tpu.models.torch_import import vit_encoder_params_from_hf
+
+    hf_cfg = transformers.ViTConfig(hidden_size=32, num_hidden_layers=2,
+                                    num_attention_heads=4,
+                                    intermediate_size=128,
+                                    hidden_dropout_prob=0.0,
+                                    attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = transformers.ViTModel(hf_cfg, add_pooling_layer=False)
+    hf.eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = vit_encoder_params_from_hf(sd, "encoder.", 2)
+
+    x = np.random.RandomState(0).randn(2, 9, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.encoder(torch.from_numpy(x)).last_hidden_state.numpy()
+
+    y = jnp.asarray(x)
+    for i in range(2):
+        blk = ViTBlock(32, 4)
+        y = blk.apply({"params": params[f"vit_{i}"]}, y)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5, rtol=1e-4)
