@@ -129,6 +129,8 @@ def main():
             else:
                 accs.extend(qaoe_mlm_topk(out, np.asarray(batch["mask_ans"]),
                                           k=1))
+        from empirical_mvm_tpu.parallel.mesh import all_gather_metrics
+        accs = all_gather_metrics(accs)
         return float(np.mean(accs)) if accs else 0.0
 
     if cfg.train.size_epoch > 0:

@@ -49,6 +49,8 @@ def main():
             scores = agent.eval_forward(p, db["img"], db["txt"], db["mask"])
             accs.append(in_batch_retrieval_accuracy(
                 np.asarray(scores)[:n_valid, :n_valid]))
+        from empirical_mvm_tpu.parallel.mesh import all_gather_metrics
+        accs = all_gather_metrics(accs)
         return float(np.mean(accs)) if accs else 0.0
 
     if cfg.train.size_epoch > 0:

@@ -127,3 +127,26 @@ def process_index() -> int:
 def is_main_process() -> bool:
     """(ref: utils/dist.py:107-111)"""
     return jax.process_index() == 0
+
+
+def all_gather_metrics(values: list[float]) -> list[float]:
+    """Gather per-host metric lists so every host computes the global number
+    (ref: utils/dist.py:187-227 pickle all_gather, used at
+    main_qamc.py:172-175). Single-host: identity. Multi-host: pads to a
+    common length and gathers through
+    ``jax.experimental.multihost_utils.process_allgather``."""
+    if jax.process_count() == 1:
+        return list(values)
+    from jax.experimental import multihost_utils
+
+    n_local = np.asarray([len(values)], np.int32)
+    counts = np.asarray(multihost_utils.process_allgather(n_local)).reshape(-1)
+    max_n = int(counts.max())
+    padded = np.full((max_n,), np.nan, np.float32)
+    padded[:len(values)] = np.asarray(values, np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(jax.process_count(), max_n)
+    out: list[float] = []
+    for host, cnt in enumerate(counts):
+        out.extend(gathered[host, :cnt].tolist())
+    return out

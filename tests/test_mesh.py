@@ -50,3 +50,9 @@ def test_param_shardings_fsdp_rules():
     rep = param_shardings(mesh, params, fsdp=False)
     assert all(s.spec == P() for s in jax.tree.leaves(
         rep, is_leaf=lambda x: hasattr(x, "spec")))
+
+
+def test_all_gather_metrics_single_host():
+    from empirical_mvm_tpu.parallel.mesh import all_gather_metrics
+    assert all_gather_metrics([1.0, 0.5]) == [1.0, 0.5]
+    assert all_gather_metrics([]) == []
