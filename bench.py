@@ -103,7 +103,10 @@ def main():
                     break                              # try a smaller batch
                 if attempt == 0:
                     continue                           # transient: retry once
-                raise
+                # repeated remote-compile failure usually means the compiler
+                # itself ran out of memory at this batch size — fall through
+                # to the next size instead of dying
+                break
         if batch_size is not None:
             break
     assert batch_size is not None, "no batch size compiled"

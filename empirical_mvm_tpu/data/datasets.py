@@ -52,10 +52,19 @@ class DatasetBase:
     def str2txt(self, s: str):
         return tok.str2txt(self.tokzr, s, self.size_txt)
 
-    def decode_clip(self, bufs: Sequence[str]) -> np.ndarray:
+    def item_rng(self, idx: int) -> random.Random:
+        """Per-item deterministic RNG: loader threads share the dataset, so a
+        single random.Random would interleave draws non-deterministically
+        (the torch reference sidesteps this with worker processes)."""
+        return random.Random((self.cfg.train.seed * 1_000_003 + idx)
+                             % (2 ** 31))
+
+    def decode_clip(self, bufs: Sequence[str],
+                    idx: int | None = None) -> np.ndarray:
+        rng = self.item_rng(idx) if idx is not None else self.rng
         return decode_clip(bufs, self.size_img, self.size_frame,
                            split=self.split, transform=self.transform,
-                           rng=self.rng)
+                           rng=rng)
 
     def zero_clip(self) -> np.ndarray:
         """Corrupt-sample fallback (ref: main_pretrain.py:94-117)."""
@@ -137,7 +146,8 @@ class RetrievalDataset(DatasetBase):
                 raw_txt = " ".join(raw_txt)
         txt, mask = self.str2txt(raw_txt)
         bufs = self.img_source.frames(item["video"])
-        img = self.decode_clip(bufs) if bufs else self.zero_clip()
+        img = (self.decode_clip(bufs, idx) if bufs
+               else self.zero_clip())
         return {"img": img, "txt": txt, "mask": mask, "vid": item["video"]}
 
     def multi_clip_item(self, idx: int):
@@ -183,7 +193,8 @@ class QAMCDataset(DatasetBase):
             txts.append(t)
             masks.append(m)
         bufs = self.img_source.frames(item["video"])
-        img = self.decode_clip(bufs) if bufs else self.zero_clip()
+        img = (self.decode_clip(bufs, idx) if bufs
+               else self.zero_clip())
         return {"img": img, "txt": np.stack(txts), "mask": np.stack(masks),
                 "ans": np.int32(item["answer"])}
 
@@ -224,7 +235,8 @@ class QAMCMLMDataset(DatasetBase):
             masks.append(m)
             mask_ans.append(ma)
         bufs = self.img_source.frames(item["video"])
-        img = self.decode_clip(bufs) if bufs else self.zero_clip()
+        img = (self.decode_clip(bufs, idx) if bufs
+               else self.zero_clip())
         return {"img": img, "txt": np.stack(txts), "mask": np.stack(masks),
                 "mask_ans": np.stack(mask_ans), "ans": np.int32(ans_idx)}
 
@@ -259,7 +271,8 @@ class QAMCGenDataset(DatasetBase):
         mask_ans = np.where(txt == self.tokzr.mask_token_id, ans_tok,
                             -1).astype(np.int32)
         bufs = self.img_source.frames(item["video"])
-        img = self.decode_clip(bufs) if bufs else self.zero_clip()
+        img = (self.decode_clip(bufs, idx) if bufs
+               else self.zero_clip())
         return {"img": img, "txt": txt, "mask": mask, "mask_ans": mask_ans,
                 "ans_idx": np.int32(ans_idx)}
 
@@ -282,7 +295,8 @@ class QAOEDataset(DatasetBase):
         item = self.txt[idx]
         txt, mask = self.str2txt(item["question"])
         bufs = self.img_source.frames(item["video"])
-        img = self.decode_clip(bufs) if bufs else self.zero_clip()
+        img = (self.decode_clip(bufs, idx) if bufs
+               else self.zero_clip())
         return {"img": img, "txt": txt, "mask": mask,
                 "ans": np.int32(item["answer"])}
 
@@ -335,7 +349,8 @@ class QAOEMLMDataset(DatasetBase):
         mask_ans = np.where(txt == self.tokzr.mask_token_id, ans_id,
                             -1).astype(np.int32)
         bufs = self.img_source.frames(item["video"])
-        img = self.decode_clip(bufs) if bufs else self.zero_clip()
+        img = (self.decode_clip(bufs, idx) if bufs
+               else self.zero_clip())
         if bufs is None:
             mask_ans[:] = -1
         return {"img": img, "txt": txt, "mask": mask, "mask_ans": mask_ans}
