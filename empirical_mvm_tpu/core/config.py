@@ -108,6 +108,7 @@ class ModelConfig:
     vis_backbone: str = "vidswin"       # vidswin | swin2d | r50 | merlot
     vis_backbone_size: str = "base"     # tiny | small | base | large | violet
     temporal_fusion: str = "vidswin"    # vidswin | mean | concat
+    swinbert: bool = False              # SwinBERT-ckpt compat (ref model.py:27)
     txt_backbone_embed_only: bool = True   # ref: _args/args_pretrain.json:48
     max_size_frame: int = 6             # temporal pos-emb slots (ref: model.py:24)
     max_size_patch: int = 14            # spatial pos-emb side (ref: model.py:23)

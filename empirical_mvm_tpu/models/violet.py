@@ -48,6 +48,13 @@ class EncVideo(nn.Module):
                                       name="swin")
         self.latent_feat_size = swin_cfg.num_features
         d = cfg.hidden_size
+        if cfg.swinbert:
+            # SwinBERT checkpoint layout (ref: model.py:27-29):
+            # latent -> 512 -> hidden, fake CLS with mask 0
+            self.fc = nn.Dense(512, dtype=self.dtype, name="fc")
+            self.img_embedding = nn.Dense(d, dtype=self.dtype,
+                                          name="img_embedding")
+            return
         if self.latent_feat_size != d:
             self.fc = nn.Dense(d, dtype=self.dtype, name="fc")
         else:
@@ -70,6 +77,18 @@ class EncVideo(nn.Module):
         h, w = hh // 32, ww // 32
         f = self.swin(img, deterministic=deterministic)        # (B,T,h,w,latent)
         f = f.reshape(b, t, h * w, self.latent_feat_size)
+        if self.config.swinbert:
+            # (ref: model.py:44-56) fake CLS token with mask 0
+            f = self.img_embedding(self.fc(f))
+            d = f.shape[-1]
+            fake_cls = jnp.zeros((b, t, 1, d), f.dtype)
+            f = jnp.concatenate([fake_cls, f], axis=2)
+            m = jnp.ones((b, t, 1 + h * w), jnp.int32)
+            m = m.at[:, :, 0].set(0)
+            if vt_mask is not None:
+                m = m * vt_mask
+            return (f.reshape(b, t * (1 + h * w), d),
+                    m.reshape(b, t * (1 + h * w)))
         if self.fc is not None:
             f = self.fc(f)
         d = f.shape[-1]

@@ -225,3 +225,24 @@ def test_encvideo_odr_embedding_parity():
     np.testing.assert_allclose(f_odr[0], f_plain[0], atol=1e-6)
     # sample 1: shuffled -> differs
     assert np.abs(f_odr[1] - f_plain[1]).max() > 1e-4
+
+
+def test_encvideo_swinbert_layout():
+    """SwinBERT-compat branch (ref model.py:27-56): latent->512->hidden with
+    a zero fake-CLS whose mask is 0."""
+    import dataclasses
+    import jax
+    from empirical_mvm_tpu.models.violet import EncVideo
+    cfg = dataclasses.replace(_tiny_model_cfg(), swinbert=True)
+    model = EncVideo(config=cfg)
+    img = np.random.RandomState(0).rand(2, 2, 64, 64, 3).astype(np.float32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0),
+                                        img)["params"])()
+    f, m = model.apply({"params": params}, img)
+    f, m = np.asarray(f), np.asarray(m)
+    lv_stride = 1 + 4
+    assert f.shape == (2, 2 * lv_stride, 32)
+    # fake CLS rows are exactly zero with mask 0
+    assert np.all(f[:, ::lv_stride] == 0)
+    assert np.all(m[:, ::lv_stride] == 0) and np.all(
+        m.reshape(2, 2, lv_stride)[:, :, 1:] == 1)
