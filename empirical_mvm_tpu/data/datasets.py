@@ -97,21 +97,27 @@ class TsvImageSource:
     main_retrieval_tsv.py seek_img_tsv)."""
 
     def __init__(self, img_tsv_path: str, id2lineidx_path: str):
+        import threading
         self.tsv_path = img_tsv_path
         with open(id2lineidx_path, "rb") as f:
             self.id2lineidx: dict[str, int] = pickle.load(f)
         self._fp = None
         self._pid = None
+        # loader THREADS share this source: seek+readline must be atomic
+        # (the torch reference gets isolation from worker processes instead,
+        # utils/tsv_file.py:103-111)
+        self._lock = threading.Lock()
 
     def frames(self, video_id: str) -> list[str] | None:
         import os
         if video_id not in self.id2lineidx:
             return None
-        if self._fp is None or self._pid != os.getpid():
-            self._fp = open(self.tsv_path, "r")
-            self._pid = os.getpid()
-        self._fp.seek(self.id2lineidx[video_id])
-        row = [s.strip() for s in self._fp.readline().split("\t")]
+        with self._lock:
+            if self._fp is None or self._pid != os.getpid():
+                self._fp = open(self.tsv_path, "r")
+                self._pid = os.getpid()
+            self._fp.seek(self.id2lineidx[video_id])
+            row = [s.strip() for s in self._fp.readline().split("\t")]
         return row[2:]  # key, meta, frames...
 
 
