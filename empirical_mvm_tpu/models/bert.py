@@ -156,6 +156,46 @@ class BertEncoder(nn.Module):
         return x, None
 
 
+class BertEncoderScanned(nn.Module):
+    """BertEncoder with layers folded into one ``nn.scan`` step.
+
+    Numerically identical to :class:`BertEncoder`; params are STACKED along
+    a leading layer axis (``layer.<param>`` with shape (L, ...)) instead of
+    ``layer_{i}.<param>``. Shrinks the traced program ~L-fold — the
+    compile-time lever for deep stacks on the slow remote-compile path.
+    Use :func:`stack_encoder_params` to convert a per-layer tree.
+
+    Limitation: no ``output_attentions`` (the fused-attention rollout for
+    'am' masking needs the per-layer module).
+    """
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None, deterministic: bool = True):
+        def body(layer, carry, _):
+            y, _ = layer(carry, attn_bias, deterministic, False)
+            return y, None
+
+        scan = nn.scan(body,
+                       variable_axes={"params": 0},
+                       split_rngs={"params": True, "dropout": True},
+                       length=self.config.num_hidden_layers)
+        x, _ = scan(BertLayer(self.config, dtype=self.dtype, name="layer"),
+                    x, None)
+        return x, None
+
+
+def stack_encoder_params(per_layer: dict, num_layers: int) -> dict:
+    """{'layer_0': tree, ...} -> {'layer': stacked tree} for
+    BertEncoderScanned."""
+    import jax
+
+    trees = [per_layer[f"layer_{i}"] for i in range(num_layers)]
+    return {"layer": jax.tree.map(lambda *xs: np.stack(xs), *trees)}
+
+
 class BertMLMHead(nn.Module):
     """HF BertOnlyMLMHead: transform dense + GELU + LayerNorm + vocab decoder.
 

@@ -96,3 +96,22 @@ def test_mlm_head_parity(hf_model_and_cfg):
     params = bert_mlm_head_params_from_torch(sd, "cls.")
     y = jbert.BertMLMHead(cfg).apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5)
+
+
+def test_scanned_encoder_matches_unrolled(hf_model_and_cfg):
+    """BertEncoderScanned == BertEncoder with stacked params."""
+    import jax
+    import jax.numpy as jnp
+    from empirical_mvm_tpu.models.bert import (BertEncoderScanned,
+                                               stack_encoder_params)
+    hf, sd, cfg = hf_model_and_cfg
+    params = bert_encoder_params_from_torch(sd, "bert.encoder.",
+                                            cfg.num_hidden_layers)
+    rs = np.random.RandomState(4)
+    x = rs.randn(2, 10, cfg.hidden_size).astype(np.float32)
+    mask = np.ones((2, 10), np.int64)
+    bias = jbert.extended_attention_mask(mask)
+    ref, _ = jbert.BertEncoder(cfg).apply({"params": params}, x, bias)
+    stacked = stack_encoder_params(params, cfg.num_hidden_layers)
+    out, _ = BertEncoderScanned(cfg).apply({"params": stacked}, x, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
