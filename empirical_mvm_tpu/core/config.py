@@ -226,6 +226,35 @@ _DATA_KEYS = {"data_dir", "dataset", "task", "data_ratio", "n_workers",
               "tokenizer"}
 
 
+def validate_run_config(cfg: "RunConfig") -> "RunConfig":
+    """Post-parse validation of flag combinations
+    (ref: utils/args.py:152-231)."""
+    m = cfg.model
+    if m.vis_backbone == "vidswin":
+        assert m.temporal_fusion == "vidswin", \
+            "vidswin backbone requires temporal_fusion=vidswin"
+    elif m.vis_backbone in ("swin", "swin2d", "r50"):
+        assert m.temporal_fusion in ("mean", "concat"), \
+            f"{m.vis_backbone} needs mean/concat fusion (ref args.py:161-184)"
+    elif m.vis_backbone == "merlot":
+        assert m.temporal_fusion == "concat", \
+            "merlot requires temporal_fusion=concat (ref args.py:174)"
+    else:
+        raise ValueError(f"unknown vis_backbone {m.vis_backbone}")
+    assert m.size_img % m.size_patch == 0, \
+        f"size_img {m.size_img} must be divisible by size_patch {m.size_patch}"
+    if cfg.type == "qaoe" and m.size_vocab <= 0:
+        # MLM-head QAOE variants run with size_vocab=-1 (ref args.py:213)
+        pass
+    assert cfg.train.p_mask <= 1.0
+    for t in cfg.train.mvm_target:
+        assert t in ("vq", "pixel", "hog", "optical_flow", "depth",
+                     "3d_feature", "2d_feature"), t
+    for mtype in cfg.train.pretrain_masks:
+        assert mtype in ("bm", "am", "rm"), mtype
+    return cfg
+
+
 def load_run_config(path_or_dict: str | dict[str, Any]) -> RunConfig:
     """Build a RunConfig from a reference-style flat JSON task config
     (ref: utils/args.py:14-22 parse_with_config)."""
@@ -254,4 +283,4 @@ def load_run_config(path_or_dict: str | dict[str, Any]) -> RunConfig:
         train=_update_dataclass(run.train, {k: v for k, v in raw.items() if k in _TRAIN_KEYS}),
         data=_update_dataclass(run.data, {k: v for k, v in raw.items() if k in _DATA_KEYS}),
     )
-    return run
+    return validate_run_config(run)

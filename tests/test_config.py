@@ -59,3 +59,13 @@ def test_swin_named_configs_match_reference_values():
 def test_tokens_per_frame():
     m = ModelConfig(size_img=224)
     assert m.tokens_per_frame == 1 + 7 * 7
+
+
+def test_validation_rejects_bad_combos():
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        load_run_config({"vis_backbone": "merlot", "temporal_fusion": "mean"})
+    with _pytest.raises(AssertionError):
+        load_run_config({"vis_backbone": "vidswin", "temporal_fusion": "mean"})
+    with _pytest.raises(AssertionError):
+        load_run_config({"mvm_target": ["bogus"]})
