@@ -86,7 +86,7 @@ def build(batch_size: int):
 def main():
     batch_size = None
     step = state = batch = None
-    for bs in (32, 16, 8, 4):
+    for bs in (16, 8, 4):
         # two attempts per size: the tunnel's remote-compile service
         # occasionally drops the connection mid-result
         for attempt in range(2):
@@ -99,6 +99,9 @@ def main():
                 break
             except Exception as e:  # noqa: BLE001
                 msg = str(e)
+                import sys
+                print(f"[bench] bs={bs} attempt={attempt} failed: "
+                      f"{type(e).__name__}: {msg[:400]}", file=sys.stderr)
                 if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
                     break                              # try a smaller batch
                 if attempt == 0:

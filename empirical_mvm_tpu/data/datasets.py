@@ -56,7 +56,9 @@ class DatasetBase:
         """Per-item deterministic RNG: loader threads share the dataset, so a
         single random.Random would interleave draws non-deterministically
         (the torch reference sidesteps this with worker processes)."""
-        return random.Random((self.cfg.train.seed * 1_000_003 + idx)
+        # int() cast: loader threads pass numpy int64 indices, which
+        # random.Random rejects as a seed type
+        return random.Random((self.cfg.train.seed * 1_000_003 + int(idx))
                              % (2 ** 31))
 
     def decode_clip(self, bufs: Sequence[str],

@@ -88,19 +88,27 @@ class ShardedBatchLoader:
         stop = object()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
+        err: list[BaseException] = []
+
         def produce():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for b in range(nb):
-                    chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    items = list(pool.map(self.ds.__getitem__, chunk))
-                    q.put(_collate(items))
-            q.put(stop)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for b in range(nb):
+                        chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                        items = list(pool.map(self.ds.__getitem__, chunk))
+                        q.put(_collate(items))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                err.append(e)
+            finally:
+                q.put(stop)             # never leave the consumer blocked
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is stop:
+                if err:
+                    raise err[0]
                 break
             yield item
 

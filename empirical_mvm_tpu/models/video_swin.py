@@ -175,17 +175,17 @@ class WindowAttention3D(nn.Module):
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)                     # (3, B_, nH, N, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
 
         bias = table[rel_index.reshape(-1)].reshape(n, n, -1)   # (N, N, nH)
         bias = bias.transpose(2, 0, 1).astype(jnp.float32)      # (nH, N, N)
 
         if self.use_pallas and self.attn_drop == 0.0:
-            # fused Pallas path: channel-last q/k/v (heads split in-kernel,
-            # avoiding the 4x lane padding of a head-major (.., N, hd=32)
-            # HBM layout); score+bias+mask+softmax+@v stay in VMEM
+            # fused Pallas path: score+bias+mask+softmax+@v stay in VMEM
             from empirical_mvm_tpu.ops.window_attention import (
                 fused_window_attention)
-            q, k, v = jnp.split(qkv, 3, axis=-1)               # (B_, N, C) each
             if mask is not None:
                 mask_arr = jnp.asarray(mask, jnp.float32)
                 nw = mask.shape[0]
@@ -196,9 +196,6 @@ class WindowAttention3D(nn.Module):
                 q, k, v, bias, mask_arr, nw, float(scale),
                 jax.default_backend() != "tpu")
         else:
-            qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
-            qkv = qkv.transpose(2, 0, 3, 1, 4)                 # (3, B_, nH, N, hd)
-            q, k, v = qkv[0], qkv[1], qkv[2]
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
                               preferred_element_type=jnp.float32)
             attn = attn + bias[None]
@@ -212,9 +209,8 @@ class WindowAttention3D(nn.Module):
                                               deterministic=deterministic)
             x = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                            preferred_element_type=jnp.float32)
-            x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
 
-        x = x.astype(self.dtype)
+        x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
         x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
         return x

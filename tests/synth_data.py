@@ -68,11 +68,13 @@ def make_downstream(data_dir: str, ds_name: str, task: str, *,
                 items.append({"video": f"video{v}", "caption": caption(v)})
             elif kind == "qamc":
                 # learnable from text alone: the correct option carries a
-                # marker phrase, so QA models can overfit without having to
-                # memorize random-noise videos
+                # marker phrase (for the pair-scoring QAMC head) AND the
+                # question spells out the answer digit (for the generative
+                # head — a copy task a tiny random-init model can overfit in
+                # tens of steps, unlike find-the-marker positional induction)
                 ans = v % n_options
                 item = {"video": f"video{v}",
-                        "question": "what is the cat doing",
+                        "question": f"the answer is {ans}",
                         "answer": ans}
                 for o in range(n_options):
                     item[f"option_{o}"] = ("the cat runs" if o == ans

@@ -121,15 +121,17 @@ def test_cli_caption(synth_env):
 
 
 def test_cli_qa_overfits_tiny_dataset(synth_env):
-    """Correctness-of-gradients signal: ~50 optimizer steps on 6 synthetic
-    QA examples must reach well-above-chance accuracy (chance = 1/3)."""
+    """Correctness-of-gradients signal: the synthetic qamc question spells
+    out the answer digit (a copy task), so the generative head must reach
+    perfect val accuracy (chance = 1/3). Measured: accuracy climbs off
+    chance ~step 33 and sustains 1.0 from ~step 60 on."""
     tmp = synth_env
     synth_data.make_downstream(str(tmp / "data"), "tgif", "overfit-task",
                                kind="qamc", n_videos=6)
     # size_txt must keep all options before the [MASK]; batch 2 over 6
-    # examples -> 3 steps/epoch, so 20 epochs ~= 60 optimizer steps
+    # examples -> 3 steps/epoch, so 40 epochs = 120 optimizer steps
     cfg_path = _write_cfg(tmp, "qamc", "overfit-task", "tgif",
-                          extra={"size_epoch": 20, "lr": 2e-3,
+                          extra={"size_epoch": 40, "lr": 5e-3,
                                  "size_txt": 48, "size_batch": 2})
     from empirical_mvm_tpu.cli import qa
     _run_cli(qa.main, ["qa", "--mode", "qamc-gen", "--config", cfg_path])
@@ -138,4 +140,6 @@ def test_cli_qa_overfits_tiny_dataset(synth_env):
     log = _json.load(open(os.path.join(run_dir, "log.json")))
     accs = [float(a) for a in log.get("ac_vl", [])]
     assert accs, log
-    assert max(accs) >= 0.66, accs
+    assert max(accs) >= 0.99, accs
+    # sustained, not a one-epoch blip
+    assert np.mean(accs[-5:]) >= 0.8, accs[-5:]

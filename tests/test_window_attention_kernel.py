@@ -1,11 +1,10 @@
-"""Parity tests for the fused window-attention Pallas kernel (interpret mode
-on CPU) against the XLA reference path, including the custom VJP."""
+"""Parity test for the fused window-attention Pallas kernel (interpret mode
+on CPU) against the XLA reference path."""
 
 import numpy as np
 import pytest
 
 import tests.conftest  # noqa: F401
-from tests.conftest import requires_reference
 
 import jax
 import jax.numpy as jnp
@@ -14,60 +13,28 @@ from empirical_mvm_tpu.ops.window_attention import (
     fused_window_attention, window_attention_reference)
 
 
-def _inputs(nh, n, hd, nw, b, seed=0):
-    rs = np.random.RandomState(seed)
-    b_ = b * nw
-    c = nh * hd
-    q = jnp.asarray(rs.randn(b_, n, c).astype(np.float32))
-    k = jnp.asarray(rs.randn(b_, n, c).astype(np.float32))
-    v = jnp.asarray(rs.randn(b_, n, c).astype(np.float32))
-    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
-    mask = np.zeros((nw, n, n), np.float32)
-    mask[::2, : n // 2, n // 2:] = -100.0
-    return q, k, v, bias, jnp.asarray(mask)
-
-
 @pytest.mark.parametrize("nh,n,hd,nw", [(4, 196, 32, 8), (2, 49, 16, 4)])
 def test_kernel_matches_reference(nh, n, hd, nw):
-    q, k, v, bias, mask = _inputs(nh, n, hd, nw, b=2)
+    rs = np.random.RandomState(0)
+    b = 2
+    b_ = b * nw
+    q = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    k = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    v = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
+    mask = np.zeros((nw, n, n), np.float32)
+    mask[::2, : n // 2, n // 2:] = -100.0   # some shifted windows
+    mask = jnp.asarray(mask)
     scale = hd ** -0.5
+
     ref = window_attention_reference(q, k, v, bias, mask, nw, scale)
-    out = fused_window_attention(q, k, v, bias, mask, nw, scale, True)
+    out = fused_window_attention(q, k, v, bias, mask, nw, scale,
+                                 interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
 
 
-def test_kernel_head_tiling_many_heads():
-    # nh=8 with small tile budget exercises the head-tile grid dimension
-    q, k, v, bias, mask = _inputs(8, 49, 16, 2, b=1)
-    scale = 16 ** -0.5
-    ref = window_attention_reference(q, k, v, bias, mask, 2, scale)
-    out = fused_window_attention(q, k, v, bias, mask, 2, scale, True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=1e-4)
-
-
-def test_kernel_vjp_matches_reference_grads():
-    """Custom-VJP backward (recompute in VMEM) vs autodiff of the XLA path."""
-    nh, n, hd, nw, b = 4, 49, 16, 4, 2
-    q, k, v, bias, mask = _inputs(nh, n, hd, nw, b)
-    scale = hd ** -0.5
-    rs = np.random.RandomState(7)
-    tgt = jnp.asarray(rs.randn(*q.shape).astype(np.float32))
-
-    def loss_pal(q, k, v, bias):
-        o = fused_window_attention(q, k, v, bias, mask, nw, scale, True)
-        return jnp.sum((o - tgt) ** 2)
-
-    def loss_ref(q, k, v, bias):
-        o = window_attention_reference(q, k, v, bias, mask, nw, scale)
-        return jnp.sum((o - tgt) ** 2)
-
-    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(q, k, v, bias)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
-    for a, b2, name in zip(g_pal, g_ref, "qkvB"):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
-                                   atol=3e-4, rtol=1e-3, err_msg=name)
+from tests.conftest import requires_reference
 
 
 @requires_reference
@@ -79,3 +46,33 @@ def test_swin_parity_with_pallas_path():
     cfg = SwinConfig(embed_dim=32, depths=(2, 2), num_heads=(2, 4),
                      drop_path_rate=0.0, use_pallas_attention=True)
     _parity_case(cfg, (2, 4, 64, 64))
+
+
+def test_kernel_vjp_matches_reference_grads():
+    """Custom-VJP backward (recompute in VMEM) vs autodiff of the XLA path."""
+    rs = np.random.RandomState(0)
+    nh, n, hd, nw, b = 4, 49, 16, 4, 2
+    b_ = b * nw
+    q = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    k = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    v = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
+    mask = np.zeros((nw, n, n), np.float32)
+    mask[1::2, :10, 10:] = -100.0
+    mask = jnp.asarray(mask)
+    scale = hd ** -0.5
+    tgt = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+
+    def loss_pal(q, k, v, bias):
+        o = fused_window_attention(q, k, v, bias, mask, nw, scale, True)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        o = window_attention_reference(q, k, v, bias, mask, nw, scale)
+        return jnp.sum((o - tgt) ** 2)
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b2, name in zip(g_pal, g_ref, "qkv b"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=3e-4, rtol=1e-3, err_msg=name)
