@@ -17,11 +17,13 @@ REFERENCE_CLIPS_PER_SEC_PER_GPU below, so the ratio is comparable across
 rounds; the absolute clips/s/chip value is the real measurement.
 
 Measured context (round 1, TPU v5e): XLA cost analysis puts this step at
-1275 GFLOP/clip (the VTM in-batch-negative pass through the 12-layer fusion
-encoder is ~56% of it, inherent to the objective). 39 clips/s/chip therefore
-means ~50 TFLOP/s achieved ~= 51% MFU of v5e's ~98 bf16 TFLOP/s, with HBM
-traffic at ~80% of peak — the step is near the roofline, so remaining
-headroom is structural (fewer objective passes), not kernel-level.
+~1100 GFLOP/clip after the VTM positive-pair reuse (the MTM pass CLS scores
+the positive; fusion runs only on the 3 negative pairs — the reference
+recomputes the positive, main_pretrain.py:243-260). Bench history:
+39.13 clips/s (4-pair VTM) -> 42.99 clips/s (3-pair VTM), ~51% MFU of v5e's
+~98 bf16 TFLOP/s with HBM traffic near peak — the step is at the roofline,
+so remaining headroom is structural (fewer objective passes), not
+kernel-level.
 """
 
 import json

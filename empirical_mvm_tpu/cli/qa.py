@@ -63,6 +63,12 @@ def build(mode: str, cfg, tokzr, img_src, txt):
     model_kwargs = {}
     if mode == "qaoe":
         model_kwargs["size_vocab"] = cfg.model.size_vocab
+    if mode in ("qaoe-mlm", "qaoe-fib") and cfg.model.enable_prompt:
+        # fixed-per-run prompt prefix, baked in as a static constant
+        # (ref: main_qaoe_lsmdc_fib.py:135 batch["prompt"] = get_prompt())
+        p_txt, p_mask = datasets["train"].get_prompt()
+        model_kwargs["prompt_tokens"] = tuple(int(i) for i in p_txt)
+        model_kwargs["prompt_mask_static"] = tuple(int(i) for i in p_mask)
     model = model_cls(config=cfg.model, dtype=jnp.bfloat16, **model_kwargs)
     return datasets, model, agent_cls, heads
 

@@ -118,6 +118,10 @@ class ModelConfig:
     size_patch: int = 32                # fusion-token patch (ref: utils/args.py:95)
     size_option: int = 5                # QA-MC options
     size_vocab: int = -1                # open-ended QA answer vocab
+    enable_task_token: bool = False     # learned per-task prefix (ref: args.py:131)
+    task_token: str = ""                # vtm | mc | oe | cap (ref: args.py:132)
+    enable_prompt: bool = False         # encoded text-prompt prefix (ref: args.py:134)
+    num_task_tokens: int = 10           # emb_task rows (ref: main_qaoe_lsmdc_fib.py:67)
     fusion: BertConfig = field(default_factory=BertConfig.base_uncased)
     text: BertConfig = field(default_factory=BertConfig.base_uncased)
     swin_custom: SwinConfig | None = None   # test/research override
@@ -162,6 +166,10 @@ class TrainConfig:
     mvm_target: tuple[str, ...] = ("pixel",)
     logging_steps: int = 20
     grad_accum: int = 1
+    # param-path prefixes excluded from updates (ref: model.py:163-172
+    # freeze_vis_encoder/freeze_bert; args.py:59 --freeze_violet maps to
+    # ("enc_img", "enc_txt", "trsfr"))
+    freeze: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -178,6 +186,7 @@ class DataConfig:
     multi_clip_testing: bool = False
     mask_pos: str = "append"            # append | prepend | insert | replace
     tokenizer: str = "bert-base-uncased"
+    prompt: str = ""                    # fib prompt text override (ref: main_qaoe_lsmdc_fib.py:24)
 
 
 @dataclass(frozen=True)
@@ -216,14 +225,16 @@ def _update_dataclass(dc: Any, overrides: dict[str, Any]) -> Any:
 # nested dataclasses (ref: utils/args.py:24-150 flag definitions).
 _MODEL_KEYS = {"vis_backbone", "vis_backbone_size", "temporal_fusion",
                "txt_backbone_embed_only", "size_img", "size_frame", "size_txt",
-               "size_option", "size_vocab", "max_size_frame", "max_size_patch"}
+               "size_option", "size_vocab", "max_size_frame", "max_size_patch",
+               "swinbert", "enable_task_token", "task_token", "enable_prompt",
+               "num_task_tokens"}
 _TRAIN_KEYS = {"lr", "decay", "max_grad_norm", "size_batch", "size_epoch",
                "seed", "temp", "p_mask", "pretrain_tasks", "pretrain_masks",
                "mvm_target", "vis_backbone_lr_mul", "lr_mult_head",
-               "logging_steps", "warmup_ratio"}
+               "logging_steps", "warmup_ratio", "freeze"}
 _DATA_KEYS = {"data_dir", "dataset", "task", "data_ratio", "n_workers",
               "size_part", "img_transform", "multi_clip_testing", "mask_pos",
-              "tokenizer"}
+              "tokenizer", "prompt"}
 
 
 def validate_run_config(cfg: "RunConfig") -> "RunConfig":
@@ -247,6 +258,9 @@ def validate_run_config(cfg: "RunConfig") -> "RunConfig":
         # MLM-head QAOE variants run with size_vocab=-1 (ref args.py:213)
         pass
     assert cfg.train.p_mask <= 1.0
+    if m.enable_task_token:
+        assert m.task_token in ("vtm", "mc", "oe", "cap"), \
+            f"task_token must be one of vtm/mc/oe/cap, got {m.task_token!r}"
     for t in cfg.train.mvm_target:
         assert t in ("vq", "pixel", "hog", "optical_flow", "depth",
                      "3d_feature", "2d_feature"), t
@@ -277,10 +291,16 @@ def load_run_config(path_or_dict: str | dict[str, Any]) -> RunConfig:
             model = dataclasses.replace(
                 model, **{bert_key: _update_dataclass(getattr(model, bert_key),
                                                       raw[bert_key])})
+    train = _update_dataclass(run.train,
+                              {k: v for k, v in raw.items() if k in _TRAIN_KEYS})
+    if raw.get("freeze_violet"):        # reference bool flag (ref: args.py:59)
+        train = dataclasses.replace(
+            train, freeze=tuple(sorted(set(train.freeze)
+                                       | {"enc_img", "enc_txt", "trsfr"})))
     run = dataclasses.replace(
         run,
         model=model,
-        train=_update_dataclass(run.train, {k: v for k, v in raw.items() if k in _TRAIN_KEYS}),
+        train=train,
         data=_update_dataclass(run.data, {k: v for k, v in raw.items() if k in _DATA_KEYS}),
     )
     return validate_run_config(run)

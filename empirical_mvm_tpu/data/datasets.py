@@ -52,6 +52,23 @@ class DatasetBase:
     def str2txt(self, s: str):
         return tok.str2txt(self.tokzr, s, self.size_txt)
 
+    # (ref: main_qaoe_lsmdc_fib.py:24-26 prompt_text)
+    PROMPT_TEXT = "fill in the mask to complete the sentence."
+
+    def get_prompt(self, prompt_text: str | None = None):
+        """Fixed-per-run text prompt as ([CLS] toks [SEP], mask) int32 arrays
+        (ref: dataset.py:58-65 get_prompt)."""
+        if prompt_text is None:
+            prompt_text = getattr(self.cfg.data, "prompt", "") or \
+                self.PROMPT_TEXT
+        ids = ([self.tokzr.cls_token_id]
+               + self.tokzr.convert_tokens_to_ids(
+                   self.tokzr.tokenize(prompt_text))
+               + [self.tokzr.sep_token_id])
+        txt = np.asarray(ids, np.int32)
+        mask = (txt != self.tokzr.pad_token_id).astype(np.int32)
+        return txt, mask
+
     def item_rng(self, idx: int) -> random.Random:
         """Per-item deterministic RNG: loader threads share the dataset, so a
         single random.Random would interleave draws non-deterministically

@@ -196,23 +196,31 @@ class VioletPretrain(VioletBase):
 
         # ---- VTM with in-batch negatives, vectorized ----
         # (ref: main_pretrain.py:243-260). Row i pairs video i with caption i
-        # (positive) and O-1 random other captions.
+        # (positive) and O-1 random other captions. The reference pushes all
+        # B*O pairs through go_cross, but its (i, i) positive pair is the
+        # exact computation of the MTM pass above — we score the positive
+        # from that pass's CLS and run fusion only on the B*(O-1) negatives,
+        # cutting the VTM fusion cost 25% with identical objective semantics.
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        scores = jax.random.uniform(rng, (b, b))
-        scores = scores - jnp.eye(b) * 2.0                    # never self
-        _, neg_idx = jax.lax.top_k(scores, o - 1)             # (B, O-1)
-        pair_idx = jnp.concatenate(
-            [jnp.arange(b)[:, None], neg_idx], axis=1)        # (B, O)
-
-        rep = lambda x: jnp.repeat(x, o, axis=0)              # video side
-        gather = lambda x: x[pair_idx.reshape(-1)]            # caption side
-        p_out, _ = self.go_cross(rep(fi), rep(mi), gather(ft), gather(mt),
-                                 deterministic=deterministic)
         cls_pos = t * (1 + h * w)                              # first text token
-        out_vtm = self.fc(p_out[:, cls_pos, :],
-                          deterministic=deterministic)
-        out_vtm = out_vtm.reshape(b, o)
+        pos_logit = self.fc(out[:, cls_pos, :],
+                            deterministic=deterministic)       # (B, 1)
+        if o > 1:
+            scores = jax.random.uniform(rng, (b, b))
+            scores = scores - jnp.eye(b) * 2.0                # never self
+            _, neg_idx = jax.lax.top_k(scores, o - 1)         # (B, O-1)
+            rep = lambda x: jnp.repeat(x, o - 1, axis=0)      # video side
+            gather = lambda x: x[neg_idx.reshape(-1)]         # caption side
+            p_out, _ = self.go_cross(rep(fi), rep(mi),
+                                     gather(ft), gather(mt),
+                                     deterministic=deterministic)
+            neg_logit = self.fc(p_out[:, cls_pos, :],
+                                deterministic=deterministic)
+            out_vtm = jnp.concatenate(
+                [pos_logit, neg_logit.reshape(b, o - 1)], axis=1)
+        else:
+            out_vtm = pos_logit
 
         return {"out_mtm": out_mtm, "out_mvm": out_mvm, "out_vtm": out_vtm,
                 "out_smtm": out_smtm,

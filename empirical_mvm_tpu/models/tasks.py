@@ -233,15 +233,35 @@ class VioletQAOE(VioletBase):
 class VioletQAOEMLMHead(VioletBase):
     """Open-ended QA / fill-in-blank through the MLM head
     (ref: main_qaoe_lsmdc_fib.py:55-84, main_qaoe_tsv_mlm_head.py). The
-    answer token is read at the [MASK] position."""
+    answer token is read at the [MASK] position.
+
+    ``prompt_tokens``/``prompt_mask_static``: a fixed-per-run prompt prefix
+    (ref: main_qaoe_lsmdc_fib.py:135 reads it from the dataset each step; a
+    constant is the jit-friendly equivalent) used when
+    ``config.enable_prompt`` and no per-call ``prompt`` is given."""
+
+    prompt_tokens: tuple = ()
+    prompt_mask_static: tuple = ()
 
     def setup_heads(self):
         self.fc_mtm = BertMLMHead(self.config.fusion, dtype=self.dtype,
                                   name="fc_mtm")
 
-    def __call__(self, img, txt, mask, deterministic: bool = True):
+    def __call__(self, img, txt, mask, prompt=None,
+                 deterministic: bool = True):
+        if (prompt is None and self.config.enable_prompt
+                and self.prompt_tokens):
+            prompt = (jnp.asarray(self.prompt_tokens, jnp.int32),
+                      jnp.asarray(self.prompt_mask_static, jnp.int32))
         cls_pos = _cls_pos(img.shape, self.config.size_patch)
         fi, mi, ft, mt = self.go_feat(img, txt, mask,
                                       deterministic=deterministic)
+        # optional task-token / prompt prefix (ref: main_qaoe_lsmdc_fib.py:79).
+        # Logits are sliced back to the original text positions so callers'
+        # mask_ans alignment is unchanged (the reference instead prepends -1
+        # to ans — same CE, shifted indexing).
+        _, mt, ft, pre = self.prepend_pretxt(
+            jnp.zeros_like(txt), mt, ft, prompt=prompt,
+            deterministic=deterministic)
         out, _ = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
-        return self.fc_mtm(out[:, cls_pos:])
+        return self.fc_mtm(out[:, cls_pos + pre:])

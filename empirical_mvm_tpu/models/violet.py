@@ -208,6 +208,12 @@ class VioletBase(nn.Module):
         self.enc_txt = EncTxt(self.config, dtype=self.dtype, name="enc_txt")
         self.trsfr = BertEncoder(self.config.fusion, dtype=self.dtype,
                                  name="trsfr")
+        if self.config.enable_task_token:
+            # learned per-task prefix rows (ref: main_qaoe_lsmdc_fib.py:66-67
+            # emb_task = 0.02 * randn(10, hidden))
+            self.emb_task = self.param(
+                "emb_task", nn.initializers.normal(0.02),
+                (self.config.num_task_tokens, self.config.hidden_size))
         self.setup_heads()
 
     def setup_heads(self):
@@ -222,6 +228,46 @@ class VioletBase(nn.Module):
                                 attn_mask_type=attn_mask_type,
                                 deterministic=deterministic)
         return feat_img, mask_img, feat_txt, mask
+
+    # (ref: main_qaoe_lsmdc_fib.py:65 task_tok2id)
+    TASK_TOK2ID = {"vtm": 0, "mc": 1, "oe": 2, "cap": 3}
+
+    def prepend_pretxt(self, ans, mask_txt, feat_txt, prompt=None,
+                       deterministic: bool = True):
+        """Prepend a learned task embedding or an encoded text prompt to the
+        text features (ref: model.py:219-258 get_pretxt/prepro_txt_inputs).
+
+        ``ans`` is the label row aligned with ``feat_txt`` (the reference
+        threads ans through the same concat so prefix positions become -1 and
+        are CE-ignored, ref: main_qaoe_lsmdc_fib.py:69-80). Returns
+        (ans, mask_txt, feat_txt) with the prefix prepended, plus the prefix
+        length so callers can slice logits back to original text positions.
+        """
+        cfg = self.config
+        b = mask_txt.shape[0]
+        if cfg.enable_task_token:
+            tid = self.TASK_TOK2ID[cfg.task_token]
+            pre_feat = jnp.broadcast_to(
+                self.emb_task[tid][None, None, :].astype(feat_txt.dtype),
+                (b, 1, feat_txt.shape[-1]))
+            pre_mask = jnp.ones((b, 1), mask_txt.dtype)
+        elif cfg.enable_prompt and prompt is not None:
+            p_txt, p_mask = prompt                       # (P,) or (B, P)
+            if p_txt.ndim == 1:
+                p_txt = jnp.broadcast_to(p_txt[None], (b, p_txt.shape[0]))
+                p_mask = jnp.broadcast_to(p_mask[None], (b, p_mask.shape[0]))
+            pre_feat = self.enc_txt(p_txt, mask_txt=p_mask,
+                                    deterministic=deterministic)
+            pre_mask = p_mask.astype(mask_txt.dtype)
+        else:
+            return ans, mask_txt, feat_txt, 0
+        pre = pre_mask.shape[1]
+        pre_ans = jnp.full((b, pre), -1, ans.dtype)
+        return (jnp.concatenate([pre_ans, ans], axis=1),
+                jnp.concatenate([pre_mask, mask_txt], axis=1),
+                jnp.concatenate([pre_feat.astype(feat_txt.dtype), feat_txt],
+                                axis=1),
+                pre)
 
     def go_cross(self, feat_img, mask_img, feat_txt, mask_txt,
                  attn_mask_type="full", output_attentions: bool = False,

@@ -75,7 +75,8 @@ class AgentBase:
             warmup_ratio=tc.warmup_ratio, min_lr=tc.min_lr,
             max_grad_norm=tc.max_grad_norm,
             backbone_lr_mul=tc.vis_backbone_lr_mul,
-            grad_accum=tc.grad_accum, **kwargs)
+            grad_accum=tc.grad_accum, freeze_prefixes=tuple(tc.freeze),
+            **kwargs)
         self.state = create_train_state(params, self.tx)
         self.global_step = 0
         self.meters: dict[str, RunningMeter] = defaultdict(RunningMeter)

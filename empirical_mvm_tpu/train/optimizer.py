@@ -73,12 +73,23 @@ def build_optimizer(
     backbone_lr_mul: float = 1.0,
     group_fn: Callable[[tuple[str, ...]], str] = default_group_fn,
     grad_accum: int = 1,
+    freeze_prefixes: tuple[str, ...] = (),
 ) -> optax.GradientTransformation:
-    """(ref: agent.py:84-113,181-193)"""
+    """(ref: agent.py:84-113,181-193). ``freeze_prefixes`` excludes any param
+    whose path starts with one of the prefixes from updates — the optax
+    equivalent of the reference's requires_grad=False freeze helpers
+    (ref: model.py:163-172, args.py:59 --freeze_violet)."""
+
+    def label_one(path: tuple[str, ...]) -> str:
+        name = ".".join(path)
+        for pre in freeze_prefixes:
+            if name == pre or name.startswith(pre + "."):
+                return "frozen"
+        return group_fn(path)
 
     def labels(tree):
         return jax.tree_util.tree_map_with_path(
-            lambda path, _: group_fn(
+            lambda path, _: label_one(
                 tuple(p.key for p in path if hasattr(p, "key"))), tree)
 
     def adamw(mul: float, wd: float) -> optax.GradientTransformation:
@@ -94,7 +105,8 @@ def build_optimizer(
             {"swin_decay": adamw(backbone_lr_mul, weight_decay),
              "swin_nodecay": adamw(backbone_lr_mul, 0.0),
              "other_decay": adamw(1.0, weight_decay),
-             "other_nodecay": adamw(1.0, 0.0)},
+             "other_nodecay": adamw(1.0, 0.0),
+             "frozen": optax.set_to_zero()},
             labels),
     )
     if grad_accum > 1:

@@ -81,8 +81,11 @@ def make_downstream(data_dir: str, ds_name: str, task: str, *,
                                            else f"a dog sits {words[o]}")
                 items.append(item)
             elif kind == "qaoe":
+                # LSMDC-FiB schema: the question carries an inline [MASK]
+                # placeholder (ref: main_qaoe_lsmdc_fib.py:32 q.replace);
+                # non-fib modes tokenize it as a plain mask token, harmless
                 items.append({"video": f"video{v}",
-                              "question": "what runs",
+                              "question": f"the [MASK] {words[(v + 2) % 6]}",
                               "answer": v % 4,
                               "answer_text": words[v % 6]})
         txt[split] = items

@@ -69,3 +69,41 @@ def test_validation_rejects_bad_combos():
         load_run_config({"vis_backbone": "vidswin", "temporal_fusion": "mean"})
     with _pytest.raises(AssertionError):
         load_run_config({"mvm_target": ["bogus"]})
+
+
+def test_freeze_prefixes_zero_updates():
+    """freeze_prefixes params get exactly zero updates
+    (ref: model.py:163-172 freeze helpers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from empirical_mvm_tpu.train.optimizer import build_optimizer
+
+    params = {
+        "enc_img": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones((3,))},
+        "fc": {"kernel": jnp.ones((3, 3))},
+    }
+    tx = build_optimizer(params, lr=1e-2, max_iter=10,
+                         freeze_prefixes=("enc_img",))
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["enc_img"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(updates["enc_img"]["bias"]).max()) == 0.0
+    assert float(jnp.abs(updates["fc"]["kernel"]).max()) > 0.0
+
+
+def test_freeze_violet_json_flag():
+    """reference-style freeze_violet bool maps to the three trunk prefixes."""
+    from empirical_mvm_tpu.core.config import load_run_config
+    cfg = load_run_config({"type": "qamc", "task": "t", "freeze_violet": True})
+    assert set(cfg.train.freeze) == {"enc_img", "enc_txt", "trsfr"}
+
+
+def test_task_token_and_prompt_keys():
+    from empirical_mvm_tpu.core.config import load_run_config
+    cfg = load_run_config({"type": "qaoe", "task": "t",
+                           "enable_task_token": True, "task_token": "oe",
+                           "prompt": "fill in the blank."})
+    assert cfg.model.enable_task_token and cfg.model.task_token == "oe"
+    assert cfg.data.prompt == "fill in the blank."

@@ -237,3 +237,49 @@ def test_qamc_gumbel_token_selection():
         rngs={"gumbel": jax.random.PRNGKey(2),
               "dropout": jax.random.PRNGKey(3)}))(params)
     assert out.shape == (b, o) and np.isfinite(np.asarray(out)).all()
+
+
+def test_task_token_prefix():
+    """enable_task_token prepends one learned row; logits stay aligned to the
+    original text positions (ref: model.py:219-236, main_qaoe_lsmdc_fib.py)."""
+    import dataclasses
+    cfg = dataclasses.replace(_cfg(), enable_task_token=True, task_token="oe")
+    model = VioletQAOEMLMHead(config=cfg)
+    b = 2
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b),
+                                        txt, mask)["params"])()
+    assert "emb_task" in params
+    assert params["emb_task"].shape == (cfg.num_task_tokens,
+                                        cfg.hidden_size)
+    out = jax.jit(lambda p: model.apply({"params": p}, _img(b), txt,
+                                        mask))(params)
+    assert out.shape == (b, 8, TINY_BERT.vocab_size)
+    # the prefix must influence the output: a different task row changes it
+    cfg2 = dataclasses.replace(cfg, task_token="mc")
+    out2 = jax.jit(lambda p: VioletQAOEMLMHead(config=cfg2).apply(
+        {"params": p}, _img(b), txt, mask))(params)
+    assert float(jnp.abs(out - out2).max()) > 1e-6
+
+
+def test_prompt_prefix():
+    """enable_prompt prepends an encoded prompt (ref: model.py:237-249)."""
+    import dataclasses
+    cfg = dataclasses.replace(_cfg(), enable_prompt=True)
+    model = VioletQAOEMLMHead(config=cfg, prompt_tokens=(2, 7, 9, 3),
+                              prompt_mask_static=(1, 1, 1, 1))
+    b = 2
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b),
+                                        txt, mask)["params"])()
+    out = jax.jit(lambda p: model.apply({"params": p}, _img(b), txt,
+                                        mask))(params)
+    assert out.shape == (b, 8, TINY_BERT.vocab_size)
+    # with a different prompt the logits change
+    model2 = VioletQAOEMLMHead(config=cfg, prompt_tokens=(4, 5, 6, 8),
+                               prompt_mask_static=(1, 1, 1, 1))
+    out2 = jax.jit(lambda p: model2.apply({"params": p}, _img(b), txt,
+                                          mask))(params)
+    assert float(jnp.abs(out - out2).max()) > 1e-6
