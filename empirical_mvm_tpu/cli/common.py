@@ -132,13 +132,46 @@ def load_initial_params(cfg: RunConfig, model, example_init_fn,
             loaded = load_torch_violet_ckpt(cfg.path_ckpt, cfg.model,
                                             heads=heads)
         else:
-            loaded = load_params(cfg.path_ckpt, like=params)
+            # template-free restore: layout adaptation (scan stacked vs
+            # per-layer) must run before any structure check
+            loaded = load_params(cfg.path_ckpt)
+        loaded = _adapt_encoder_layout(params, loaded)
         params = _overlay(params, loaded)
         logger.info("loaded checkpoint %s", cfg.path_ckpt)
     elif cfg.path_ckpt:
         logger.warning("checkpoint %s not found, keeping random init "
                        "(ref model.py:299-301 behavior)", cfg.path_ckpt)
     return params
+
+
+def _adapt_encoder_layout(base, loaded):
+    """Convert a checkpoint's trsfr layer layout (per-layer 'layer_i' vs
+    scan-stacked 'layer') to the model's, so scan and non-scan models load
+    each other's checkpoints transparently."""
+    if not (isinstance(base, dict) and isinstance(loaded, dict)):
+        return loaded
+    from empirical_mvm_tpu.models.bert import (stack_encoder_params,
+                                               unstack_encoder_params)
+    from empirical_mvm_tpu.models.video_swin import (
+        swin_stack_stage_blocks, swin_unstack_stage_blocks)
+    out = dict(loaded)
+    for k, v in base.items():
+        lv = loaded.get(k)
+        if not (isinstance(v, dict) and isinstance(lv, dict)):
+            continue
+        if "layer" in v and "layer_0" in lv:
+            n = sum(1 for key in lv if key.startswith("layer_"))
+            out[k] = stack_encoder_params(lv, n)
+        elif "layer_0" in v and "layer" in lv:
+            out[k] = unstack_encoder_params(lv)
+        elif "pairs" in v and "blocks_0" in lv:
+            n = sum(1 for key in lv if key.startswith("blocks_"))
+            out[k] = swin_stack_stage_blocks(lv, n)
+        elif "blocks_0" in v and "pairs" in lv:
+            out[k] = swin_unstack_stage_blocks(lv)
+        else:
+            out[k] = _adapt_encoder_layout(v, lv)
+    return out
 
 
 def _overlay(base, loaded):

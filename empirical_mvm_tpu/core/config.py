@@ -41,6 +41,9 @@ class SwinConfig:
     remat: bool = False     # jax.checkpoint each block (memory for FLOPs)
     use_pallas_attention: bool = False  # fused window-attention kernel (TPU)
     final_norm: bool = True  # HF 2D Swin hidden_states[-1] is pre-norm
+    scan: bool = False      # nn.scan over (no-shift, shift) block pairs in
+                            # even-depth stages >=4: ~depth/2-fold smaller
+                            # trace/HLO; params under layers_i.pairs.blk{0,1}
 
     @property
     def num_features(self) -> int:
@@ -94,6 +97,9 @@ class BertConfig:
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
     remat: bool = False     # jax.checkpoint each layer
+    scan: bool = False      # nn.scan over layers: ~L-fold smaller trace/HLO
+                            # (params stacked as layer.<p> (L, ...); no
+                            # output_attentions, so incompatible with 'am')
 
     @classmethod
     def base_uncased(cls) -> "BertConfig":
@@ -261,6 +267,10 @@ def validate_run_config(cfg: "RunConfig") -> "RunConfig":
     if m.enable_task_token:
         assert m.task_token in ("vtm", "mc", "oe", "cap"), \
             f"task_token must be one of vtm/mc/oe/cap, got {m.task_token!r}"
+    if m.fusion.scan:
+        assert "am" not in cfg.train.pretrain_masks, \
+            "'am' masking needs per-layer attentions; fusion.scan=True " \
+            "folds layers into one nn.scan step without them"
     for t in cfg.train.mvm_target:
         assert t in ("vq", "pixel", "hog", "optical_flow", "depth",
                      "3d_feature", "2d_feature"), t

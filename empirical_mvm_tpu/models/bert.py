@@ -196,6 +196,19 @@ def stack_encoder_params(per_layer: dict, num_layers: int) -> dict:
     return {"layer": jax.tree.map(lambda *xs: np.stack(xs), *trees)}
 
 
+def unstack_encoder_params(stacked: dict) -> dict:
+    """Inverse of :func:`stack_encoder_params`: {'layer': (L, ...) tree} ->
+    {'layer_i': tree}. For exporting scanned checkpoints to the per-layer
+    layout (torch interop, non-scan models)."""
+    import jax
+
+    leaves = jax.tree.leaves(stacked["layer"])
+    num_layers = int(np.shape(leaves[0])[0])
+    return {f"layer_{i}": jax.tree.map(lambda x, i=i: np.asarray(x)[i],
+                                       stacked["layer"])
+            for i in range(num_layers)}
+
+
 class BertMLMHead(nn.Module):
     """HF BertOnlyMLMHead: transform dense + GELU + LayerNorm + vocab decoder.
 

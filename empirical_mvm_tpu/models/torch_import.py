@@ -378,3 +378,45 @@ def report_key_diff(expected: set[str], loaded: set[str]) -> None:
     if missing:
         logger.warning("Missing checkpoint keys (%d): %s",
                        len(missing), sorted(missing)[:20])
+
+
+def inflate_swin2d_to_3d(sd: Mapping[str, np.ndarray],
+                         window_size: tuple[int, int, int] = (8, 7, 7),
+                         patch_t: int = 2) -> dict[str, np.ndarray]:
+    """Inflate an ImageNet 2D Swin state_dict to the 3D layout, mirroring
+    the reference's ``SwinTransformer3D.inflate_weights``
+    (ref: visbackbone/video_swin.py:484-536):
+
+    * ``patch_embed.proj.weight`` (E, C, kh, kw) gains a temporal axis —
+      repeated ``patch_t`` times and divided by ``patch_t`` so the initial
+      response to a static clip matches the 2D model;
+    * ``relative_position_bias_table`` (L1, nH) is bicubically resized to the
+      3D spatial window if the 2D window differs, then tiled ``2*wd-1``
+      times along the temporal-offset axis;
+    * ``relative_position_index`` / ``attn_mask`` buffers are dropped
+      (regenerated at trace time here).
+
+    Returns a 3D-layout torch-style state_dict; feed it to
+    :func:`swin3d_params_from_torch`.
+    """
+    wd, wh, ww = window_size
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if "relative_position_index" in k or "attn_mask" in k:
+            continue
+        if k.endswith("patch_embed.proj.weight"):
+            v = np.repeat(v[:, :, None, :, :], patch_t, axis=2) / patch_t
+        elif k.endswith("relative_position_bias_table"):
+            l1, nh = v.shape
+            l2 = (2 * wh - 1) * (2 * ww - 1)
+            if l1 != l2:
+                import torch
+                s1 = int(round(l1 ** 0.5))
+                t = torch.from_numpy(np.ascontiguousarray(v)).float()
+                t = t.permute(1, 0).reshape(1, nh, s1, s1)
+                t = torch.nn.functional.interpolate(
+                    t, size=(2 * wh - 1, 2 * ww - 1), mode="bicubic")
+                v = t.reshape(nh, l2).permute(1, 0).numpy()
+            v = np.tile(v, (2 * wd - 1, 1))
+        out[k] = np.asarray(v)
+    return out

@@ -216,10 +216,13 @@ class WindowAttention3D(nn.Module):
         return x
 
 
-def drop_path(x: jax.Array, rate: float, deterministic: bool,
+def drop_path(x: jax.Array, rate, deterministic: bool,
               rng: jax.Array | None) -> jax.Array:
-    """Stochastic depth (ref: visbackbone/video_swin.py:46-63)."""
-    if deterministic or rate == 0.0:
+    """Stochastic depth (ref: visbackbone/video_swin.py:46-63).
+
+    ``rate`` may be a traced scalar (the scanned-stage path feeds per-block
+    rates as scan inputs)."""
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -240,13 +243,14 @@ class SwinTransformerBlock3D(nn.Module):
     qk_scale: float | None = None
     drop: float = 0.0
     attn_drop: float = 0.0
-    drop_path_rate: float = 0.0
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_mask: np.ndarray | None,
-                 deterministic: bool = True):
+                 drop_path_rate=0.0, deterministic: bool = True):
+        # drop_path_rate is a call arg (python float or traced scalar) so the
+        # scanned-stage path can feed per-block rates as scan inputs
         b, d, h, w, c = x.shape
         window_size, shift_size = get_window_size(
             (d, h, w), self.window_size, self.shift_size)
@@ -283,17 +287,19 @@ class SwinTransformerBlock3D(nn.Module):
         if pad_d > 0 or pad_b > 0 or pad_r > 0:
             x = x[:, :d, :h, :w, :]
 
+        has_dp = not (isinstance(drop_path_rate, float)
+                      and drop_path_rate == 0.0)
         dp_rng = (self.make_rng("dropout")
-                  if (not deterministic and self.drop_path_rate > 0) else None)
-        x = shortcut + drop_path(x, self.drop_path_rate, deterministic, dp_rng)
+                  if (not deterministic and has_dp) else None)
+        x = shortcut + drop_path(x, drop_path_rate, deterministic, dp_rng)
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
                 out_features=self.dim, dropout_rate=self.drop,
                 dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
         dp_rng2 = (self.make_rng("dropout")
-                   if (not deterministic and self.drop_path_rate > 0) else None)
-        return x + drop_path(y, self.drop_path_rate, deterministic, dp_rng2)
+                   if (not deterministic and has_dp) else None)
+        return x + drop_path(y, drop_path_rate, deterministic, dp_rng2)
 
 
 class PatchMerging(nn.Module):
@@ -318,6 +324,56 @@ class PatchMerging(nn.Module):
         return x
 
 
+class SwinBlockPair(nn.Module):
+    """A (no-shift, shift) Swin block pair — the nn.scan unit for a stage.
+
+    ``block_common`` is the shared block kwargs as a sorted items tuple
+    (flax module fields must be hashable); ``rates`` carries the two
+    per-block stochastic-depth rates as a scan input."""
+
+    block_common: tuple
+    half_shift: tuple[int, int, int]
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, attn_mask, rates, deterministic: bool = True):
+        common = dict(self.block_common)
+        cls = (nn.remat(SwinTransformerBlock3D, static_argnums=(4,))
+               if self.remat else SwinTransformerBlock3D)
+        x = cls(shift_size=(0, 0, 0), name="blk0", **common)(
+            x, attn_mask, rates[0], deterministic)
+        x = cls(shift_size=self.half_shift, name="blk1", **common)(
+            x, attn_mask, rates[1], deterministic)
+        return x
+
+
+def swin_stack_stage_blocks(stage: dict, depth: int) -> dict:
+    """Per-block stage params {'blocks_0'..'blocks_{d-1}', ...} ->
+    scanned layout {'pairs': {'blk0': stacked evens, 'blk1': stacked odds},
+    ...}. Non-block keys (downsample) pass through."""
+    out = {k: v for k, v in stage.items() if not k.startswith("blocks_")}
+    evens = [stage[f"blocks_{i}"] for i in range(0, depth, 2)]
+    odds = [stage[f"blocks_{i}"] for i in range(1, depth, 2)]
+    out["pairs"] = {
+        "blk0": jax.tree.map(lambda *xs: np.stack(xs), *evens),
+        "blk1": jax.tree.map(lambda *xs: np.stack(xs), *odds),
+    }
+    return out
+
+
+def swin_unstack_stage_blocks(stage: dict) -> dict:
+    """Inverse of :func:`swin_stack_stage_blocks`."""
+    out = {k: v for k, v in stage.items() if k != "pairs"}
+    pairs = stage["pairs"]
+    n = int(np.shape(jax.tree.leaves(pairs["blk0"])[0])[0])
+    for i in range(n):
+        out[f"blocks_{2 * i}"] = jax.tree.map(
+            lambda x, i=i: np.asarray(x)[i], pairs["blk0"])
+        out[f"blocks_{2 * i + 1}"] = jax.tree.map(
+            lambda x, i=i: np.asarray(x)[i], pairs["blk1"])
+    return out
+
+
 class BasicLayer(nn.Module):
     """One Swin stage (ref: visbackbone/video_swin.py:310-370)."""
 
@@ -334,6 +390,7 @@ class BasicLayer(nn.Module):
     downsample: bool = False
     remat: bool = False
     use_pallas: bool = False
+    scan: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -351,24 +408,46 @@ class BasicLayer(nn.Module):
         # checkpoint_wrapper / torch.utils.checkpoint equivalent
         # (ref: model.py:149, visbackbone/video_swin.py:252-261)
         # static_argnums counts the bound module as arg 0:
-        # (self, x, attn_mask, deterministic) -> deterministic is 3
+        # (self, x, attn_mask, drop_path_rate, deterministic) -> det is 4
         block_cls = (nn.remat(SwinTransformerBlock3D,
-                              static_argnums=(3,))
+                              static_argnums=(4,))
                      if self.remat else SwinTransformerBlock3D)
-        for i in range(self.depth):
-            rate = (self.drop_path_rates[i]
-                    if i < len(self.drop_path_rates) else 0.0)
-            x = block_cls(
-                dim=self.dim, num_heads=self.num_heads,
-                window_size=self.window_size,
-                shift_size=((0, 0, 0) if i % 2 == 0
-                            else tuple(s // 2 for s in self.window_size)),
-                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                qk_scale=self.qk_scale, drop=self.drop,
-                attn_drop=self.attn_drop, drop_path_rate=rate,
-                use_pallas=self.use_pallas,
-                dtype=self.dtype, name=f"blocks_{i}",
-            )(x, attn_mask, deterministic)
+        common = dict(dim=self.dim, num_heads=self.num_heads,
+                      window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                      qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                      drop=self.drop, attn_drop=self.attn_drop,
+                      use_pallas=self.use_pallas, dtype=self.dtype)
+        half_shift = tuple(s // 2 for s in self.window_size)
+        rates = [self.drop_path_rates[i]
+                 if i < len(self.drop_path_rates) else 0.0
+                 for i in range(self.depth)]
+
+        if self.scan and self.depth >= 4 and self.depth % 2 == 0:
+            # fold (no-shift, shift) block pairs into one nn.scan step:
+            # the trace/HLO shrinks depth/2-fold — the compile-time lever
+            # for the 18-block stage. Params live under
+            # pairs.{blk0,blk1}.<p> with a leading (depth/2, ...) axis;
+            # see swin_stack_stage_blocks for per-block conversion.
+            rate_pairs = jnp.asarray(rates, jnp.float32).reshape(-1, 2)
+
+            def body(pair, carry, rate2):
+                return pair(carry, attn_mask, rate2, deterministic), None
+
+            scan = nn.scan(body,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True},
+                           in_axes=(0,), length=self.depth // 2)
+            x, _ = scan(
+                SwinBlockPair(block_common=tuple(sorted(common.items())),
+                              half_shift=half_shift, remat=self.remat,
+                              name="pairs"),
+                x, rate_pairs)
+        else:
+            for i in range(self.depth):
+                x = block_cls(
+                    shift_size=((0, 0, 0) if i % 2 == 0 else half_shift),
+                    name=f"blocks_{i}", **common,
+                )(x, attn_mask, rates[i], deterministic)
 
         if self.downsample:
             x = PatchMerging(dim=self.dim, dtype=self.dtype, name="downsample")(x)
@@ -421,6 +500,7 @@ class SwinTransformer3D(nn.Module):
                 downsample=(i < len(cfg.depths) - 1),
                 remat=cfg.remat,
                 use_pallas=cfg.use_pallas_attention,
+                scan=cfg.scan,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, deterministic=deterministic)

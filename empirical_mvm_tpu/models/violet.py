@@ -206,8 +206,17 @@ class VioletBase(nn.Module):
         else:
             raise ValueError(f"unknown vis_backbone {vb}")
         self.enc_txt = EncTxt(self.config, dtype=self.dtype, name="enc_txt")
-        self.trsfr = BertEncoder(self.config.fusion, dtype=self.dtype,
-                                 name="trsfr")
+        if self.config.fusion.scan:
+            # layers folded into one nn.scan step: ~12x smaller trace/HLO,
+            # the compile-time lever for the slow remote-compile path.
+            # Params are stacked (trsfr.layer.<p> with leading (L, ...));
+            # use bert.stack_encoder_params to convert per-layer trees.
+            from empirical_mvm_tpu.models.bert import BertEncoderScanned
+            self.trsfr = BertEncoderScanned(self.config.fusion,
+                                            dtype=self.dtype, name="trsfr")
+        else:
+            self.trsfr = BertEncoder(self.config.fusion, dtype=self.dtype,
+                                     name="trsfr")
         if self.config.enable_task_token:
             # learned per-task prefix rows (ref: main_qaoe_lsmdc_fib.py:66-67
             # emb_task = 0.02 * randn(10, hidden))
@@ -276,8 +285,13 @@ class VioletBase(nn.Module):
         feat = jnp.concatenate([feat_img.astype(self.dtype),
                                 feat_txt.astype(self.dtype)], axis=1)
         bias = joint_attn_bias(mask_img, mask_txt, attn_mask_type)
-        out, attns = self.trsfr(feat, bias, deterministic=deterministic,
-                                output_attentions=output_attentions)
+        if self.config.fusion.scan:
+            assert not output_attentions, \
+                "fusion.scan=True cannot return per-layer attentions"
+            out, attns = self.trsfr(feat, bias, deterministic=deterministic)
+        else:
+            out, attns = self.trsfr(feat, bias, deterministic=deterministic,
+                                    output_attentions=output_attentions)
         return out, attns
 
     def __call__(self, img, txt, mask, deterministic: bool = True):

@@ -72,13 +72,17 @@ def save_params(params: Any, path: str, meta: dict | None = None) -> None:
 
 
 def load_params(path: str, like: Any = None) -> Any:
-    """Load a checkpoint in any supported format. ``like`` (a param tree)
-    is required for .msgpack to recover the tree structure."""
+    """Load a checkpoint in any supported format. For .msgpack, ``like``
+    (a param tree) restores through the template with structure validation;
+    ``like=None`` restores template-free (plain nested dicts) — required when
+    the caller adapts layouts (scan vs per-layer) before merging."""
     if path.endswith(".msgpack"):
         from flax import serialization
-        assert like is not None, "msgpack load needs a template tree"
         with open(path, "rb") as f:
-            return serialization.from_bytes(like, f.read())
+            data = f.read()
+        if like is None:
+            return serialization.msgpack_restore(data)
+        return serialization.from_bytes(like, data)
     if path.endswith(".npz"):
         return _unflatten(dict(np.load(path)))
     if path.endswith(".pt") or path.endswith(".pth") or path.endswith(".bin"):

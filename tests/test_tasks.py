@@ -283,3 +283,55 @@ def test_prompt_prefix():
     out2 = jax.jit(lambda p: model2.apply({"params": p}, _img(b), txt,
                                           mask))(params)
     assert float(jnp.abs(out - out2).max()) > 1e-6
+
+
+def test_fusion_scan_equivalence():
+    """VioletBase(fusion.scan=True) == unscanned forward given converted
+    params; compile-time lever must not change numerics."""
+    import dataclasses
+    from empirical_mvm_tpu.models.violet import VioletBase
+    from empirical_mvm_tpu.models.bert import (stack_encoder_params,
+                                               unstack_encoder_params)
+    cfg = _cfg()
+    model = VioletBase(config=cfg)
+    b = 2
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b),
+                                        txt, mask)["params"])()
+    ref = jax.jit(lambda p: model.apply({"params": p}, _img(b), txt,
+                                        mask))(params)
+
+    cfg_s = dataclasses.replace(
+        cfg, fusion=dataclasses.replace(cfg.fusion, scan=True))
+    model_s = VioletBase(config=cfg_s)
+    params_s = dict(params)
+    params_s["trsfr"] = stack_encoder_params(
+        params["trsfr"], cfg.fusion.num_hidden_layers)
+    out = jax.jit(lambda p: model_s.apply({"params": p}, _img(b), txt,
+                                          mask))(params_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # round trip back to per-layer layout
+    back = unstack_encoder_params(params_s["trsfr"])
+    for i in range(cfg.fusion.num_hidden_layers):
+        a = jax.tree.leaves(back[f"layer_{i}"])
+        bl = jax.tree.leaves(params["trsfr"][f"layer_{i}"])
+        for x, y in zip(a, bl):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_ckpt_layout_adaptation():
+    """scan and non-scan models load each other's checkpoints."""
+    from empirical_mvm_tpu.cli.common import _adapt_encoder_layout
+    from empirical_mvm_tpu.models.bert import stack_encoder_params
+    layer = {"attention": {"query": {"kernel": np.ones((4, 4))}}}
+    per_layer = {"trsfr": {"layer_0": layer, "layer_1": layer}}
+    stacked = {"trsfr": stack_encoder_params(per_layer["trsfr"], 2)}
+    # per-layer ckpt -> scan model
+    adapted = _adapt_encoder_layout(stacked, per_layer)
+    assert adapted["trsfr"]["layer"]["attention"]["query"]["kernel"
+                                                          ].shape == (2, 4, 4)
+    # stacked ckpt -> per-layer model
+    adapted2 = _adapt_encoder_layout(per_layer, stacked)
+    assert set(adapted2["trsfr"]) == {"layer_0", "layer_1"}

@@ -116,3 +116,87 @@ def test_swin_tiny_5frame_224_cpu_parity():
     cfg = SwinConfig(embed_dim=cfg.embed_dim, depths=cfg.depths,
                      num_heads=cfg.num_heads, drop_path_rate=0.0)
     _parity_case(cfg, (1, 5, 224, 224), atol=5e-4)
+
+
+def test_inflate_swin2d_to_3d():
+    """Functional checks of the 2D->3D inflation transforms
+    (ref: visbackbone/video_swin.py:484-536)."""
+    import numpy as np
+    from empirical_mvm_tpu.models.torch_import import inflate_swin2d_to_3d
+
+    rs = np.random.RandomState(0)
+    nh = 3
+    sd2d = {
+        "patch_embed.proj.weight": rs.randn(8, 3, 4, 4).astype(np.float32),
+        "patch_embed.proj.bias": rs.randn(8).astype(np.float32),
+        # 2D 7x7 window: (2*7-1)^2 = 169 offsets
+        "layers.0.blocks.0.attn.relative_position_bias_table":
+            rs.randn(169, nh).astype(np.float32),
+        "layers.0.blocks.0.attn.relative_position_index":
+            np.zeros((49, 49), np.int64),
+        "layers.0.blocks.0.attn_mask": np.zeros((1, 49, 49), np.float32),
+    }
+    out = inflate_swin2d_to_3d(sd2d, window_size=(8, 7, 7), patch_t=2)
+
+    # buffers dropped
+    assert not any("relative_position_index" in k or "attn_mask" in k
+                   for k in out)
+    # temporal inflation: kd=2 axis, sum over kd equals the 2D kernel
+    w = out["patch_embed.proj.weight"]
+    assert w.shape == (8, 3, 2, 4, 4)
+    np.testing.assert_allclose(w.sum(axis=2),
+                               sd2d["patch_embed.proj.weight"], rtol=1e-6)
+    # bias table tiled (2*8-1)=15 times along temporal offsets, no resize
+    t = out["layers.0.blocks.0.attn.relative_position_bias_table"]
+    assert t.shape == (15 * 169, nh)
+    np.testing.assert_array_equal(
+        t[:169], sd2d["layers.0.blocks.0.attn.relative_position_bias_table"])
+    np.testing.assert_array_equal(t[169:338], t[:169])
+
+    # spatial resize path: a 5x5-window table (81 offsets) resizes to 169
+    sd_small = {"layers.0.blocks.0.attn.relative_position_bias_table":
+                rs.randn(81, nh).astype(np.float32)}
+    out2 = inflate_swin2d_to_3d(sd_small, window_size=(8, 7, 7))
+    assert out2["layers.0.blocks.0.attn.relative_position_bias_table"
+                ].shape == (15 * 169, nh)
+
+
+def test_swin_stage_scan_equivalence():
+    """SwinConfig.scan=True (block-pair nn.scan) matches the unrolled stage
+    numerically (deterministic) given converted params."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from empirical_mvm_tpu.core.config import SwinConfig
+    from empirical_mvm_tpu.models.video_swin import (
+        SwinTransformer3D, swin_stack_stage_blocks, swin_unstack_stage_blocks)
+
+    cfg = SwinConfig(embed_dim=8, depths=(2, 4, 2, 2), num_heads=(1, 2, 4, 8),
+                     drop_path_rate=0.1)
+    model = SwinTransformer3D(config=cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 2, 64, 64, 3)
+                    .astype(np.float32))
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x)["params"])()
+    ref = jax.jit(lambda p: model.apply({"params": p}, x))(params)
+
+    cfg_s = dataclasses.replace(cfg, scan=True)
+    model_s = SwinTransformer3D(config=cfg_s)
+    params_s = dict(params)
+    # only even-depth stages >= 4 scan (stage 1 here, depth 4)
+    params_s["layers_1"] = swin_stack_stage_blocks(params["layers_1"], 4)
+    out = jax.jit(lambda p: model_s.apply({"params": p}, x))(params_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # round trip
+    back = swin_unstack_stage_blocks(params_s["layers_1"])
+    for i in range(4):
+        for a, b in zip(jax.tree.leaves(back[f"blocks_{i}"]),
+                        jax.tree.leaves(params["layers_1"][f"blocks_{i}"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # init in scanned layout has the stacked shapes
+    p2 = jax.jit(lambda: model_s.init(jax.random.PRNGKey(0), x)["params"])()
+    assert "pairs" in p2["layers_1"]
+    q = p2["layers_1"]["pairs"]["blk0"]["attn"]["qkv"]["kernel"]
+    assert q.shape[0] == 2  # 4 blocks -> 2 scan steps
