@@ -89,10 +89,20 @@ class CaptionAgent(AgentBase):
         self.train_step = jax.jit(step_fn, in_shardings=(st, bsh, rep),
                                   out_shardings=(st, rep),
                                   donate_argnums=(0,))
-        self.generate = jax.jit(
-            lambda p, img: self.model.apply(
-                {"params": p}, img, max_len=20, method=self.model.generate),
-            in_shardings=(rep, bsh))
+        if self.cfg.data.num_beams > 1:
+            nb = self.cfg.data.num_beams
+            self.generate = jax.jit(
+                lambda p, img: self.model.apply(
+                    {"params": p}, img, max_len=20, beam_size=nb,
+                    method=self.model.generate_beam),
+                in_shardings=(rep, bsh))
+        else:
+            dec = self.cfg.data.decode
+            self.generate = jax.jit(
+                lambda p, img: self.model.apply(
+                    {"params": p}, img, max_len=20, decode=dec,
+                    method=self.model.generate),
+                in_shardings=(rep, bsh))
 
 
 def main():

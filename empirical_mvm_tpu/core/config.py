@@ -193,6 +193,8 @@ class DataConfig:
     mask_pos: str = "append"            # append | prepend | insert | replace
     tokenizer: str = "bert-base-uncased"
     prompt: str = ""                    # fib prompt text override (ref: main_qaoe_lsmdc_fib.py:24)
+    num_beams: int = 1                  # >1: beam-search captioning (ref: main_caption.py:120)
+    decode: str = "greedy"              # greedy | top-k | top-p (generation)
 
 
 @dataclass(frozen=True)
@@ -240,7 +242,7 @@ _TRAIN_KEYS = {"lr", "decay", "max_grad_norm", "size_batch", "size_epoch",
                "logging_steps", "warmup_ratio", "freeze"}
 _DATA_KEYS = {"data_dir", "dataset", "task", "data_ratio", "n_workers",
               "size_part", "img_transform", "multi_clip_testing", "mask_pos",
-              "tokenizer", "prompt"}
+              "tokenizer", "prompt", "num_beams", "decode"}
 
 
 def validate_run_config(cfg: "RunConfig") -> "RunConfig":

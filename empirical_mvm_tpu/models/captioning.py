@@ -103,3 +103,67 @@ class VioletCaptioning(VioletBase):
         (tokens, done, _), _ = jax.lax.scan(
             step, (tokens0, done0, rng), jnp.arange(1, max_len))
         return tokens
+
+    def generate_beam(self, img, max_len: int = 20, *, beam_size: int = 4,
+                      length_penalty: float = 0.6):
+        """Beam-search caption generation (BEYOND parity: the reference's
+        beam/KV-cache paths raise NotImplementedError,
+        model_for_captioning.py:102,215).
+
+        Standard length-normalized beam search over the [MASK]-append
+        decoder: all ``B*beam_size`` hypotheses batch through one fusion
+        forward per position inside a ``lax.scan`` — static shapes, one
+        compile. Finished beams emit [PAD] at log-prob 0 so their scores
+        freeze but still compete in top-k. Returns (B, max_len) ids of the
+        best beam under score / length**length_penalty.
+        """
+        b = img.shape[0]
+        k = beam_size
+        fi, mi = self.enc_img(img, deterministic=True)
+        n_vid = fi.shape[1]
+        fi_k = jnp.repeat(fi, k, axis=0)
+        mi_k = jnp.repeat(mi, k, axis=0)
+
+        tokens0 = jnp.full((b, k, max_len), self.pad_token_id, jnp.int32)
+        tokens0 = tokens0.at[:, :, 0].set(self.cls_token_id)
+        # only beam 0 is live at step 1 (identical prefixes otherwise)
+        scores0 = jnp.where(jnp.arange(k) == 0, 0.0, -1e9)[None, :]
+        scores0 = jnp.broadcast_to(scores0, (b, k))
+        done0 = jnp.zeros((b, k), bool)
+
+        def step(carry, i):
+            tokens, scores, done = carry
+            flat = tokens.reshape(b * k, max_len)
+            cur = flat.at[:, i].set(
+                jnp.where(done.reshape(-1), self.pad_token_id,
+                          self.mask_token_id))
+            mask_txt = (jnp.arange(max_len)[None, :] <= i).astype(jnp.int32)
+            mask_txt = jnp.broadcast_to(mask_txt, (b * k, max_len))
+            ft = self.enc_txt(cur, mask_txt=mask_txt, deterministic=True)
+            out, _ = self.go_cross(fi_k, mi_k, ft, mask_txt,
+                                   attn_mask_type="seq2seq",
+                                   deterministic=True)
+            logits = self.fc_mtm(out[:, n_vid + i]).astype(jnp.float32)
+            v = logits.shape[-1]
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+            pad_only = jnp.full((v,), -jnp.inf).at[self.pad_token_id].set(0.0)
+            logp = jnp.where(done[:, :, None], pad_only[None, None, :], logp)
+            cand = (scores[:, :, None] + logp).reshape(b, k * v)
+            top_scores, top_idx = jax.lax.top_k(cand, k)       # (B, K)
+            beam_idx = top_idx // v
+            tok_idx = (top_idx % v).astype(jnp.int32)
+            tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+            done = jnp.take_along_axis(done, beam_idx, axis=1)
+            new_tok = jnp.where(done, self.pad_token_id, tok_idx)
+            tokens = tokens.at[:, :, i].set(new_tok)
+            done = jnp.logical_or(done, new_tok == self.sep_token_id)
+            return (tokens, top_scores, done), None
+
+        (tokens, scores, done), _ = jax.lax.scan(
+            step, (tokens0, scores0, done0), jnp.arange(1, max_len))
+        lengths = jnp.sum(tokens != self.pad_token_id, axis=-1)  # (B, K)
+        norm = scores / jnp.maximum(lengths, 1).astype(jnp.float32) \
+            ** length_penalty
+        best = jnp.argmax(norm, axis=-1)                         # (B,)
+        return jnp.take_along_axis(
+            tokens, best[:, None, None], axis=1)[:, 0]

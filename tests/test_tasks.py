@@ -335,3 +335,30 @@ def test_ckpt_layout_adaptation():
     # stacked ckpt -> per-layer model
     adapted2 = _adapt_encoder_layout(per_layer, stacked)
     assert set(adapted2["trsfr"]) == {"layer_0", "layer_1"}
+
+
+def test_captioning_beam_search():
+    """Beam search: shape/CLS contract; beam_size=1 with no length penalty
+    must match greedy exactly (same argmax path)."""
+    from empirical_mvm_tpu.models.captioning import VioletCaptioning
+    cfg = _cfg()
+    model = VioletCaptioning(config=cfg, cls_token_id=2, sep_token_id=3,
+                             pad_token_id=0, mask_token_id=4)
+    b = 2
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b), txt,
+                                        mask)["params"])()
+
+    greedy = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), max_len=6, method=model.generate))(params))
+    beam1 = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), max_len=6, beam_size=1, length_penalty=0.0,
+        method=model.generate_beam))(params))
+    np.testing.assert_array_equal(beam1, greedy)
+
+    beam4 = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), max_len=6, beam_size=4,
+        method=model.generate_beam))(params))
+    assert beam4.shape == (b, 6)
+    assert (beam4[:, 0] == 2).all()
