@@ -172,6 +172,7 @@ class TrainConfig:
     mvm_target: tuple[str, ...] = ("pixel",)
     logging_steps: int = 20
     grad_accum: int = 1
+    profile_n_steps: int = 0            # >0: jax profiler trace of N steps
     # param-path prefixes excluded from updates (ref: model.py:163-172
     # freeze_vis_encoder/freeze_bert; args.py:59 --freeze_violet maps to
     # ("enc_img", "enc_txt", "trsfr"))
@@ -239,7 +240,7 @@ _MODEL_KEYS = {"vis_backbone", "vis_backbone_size", "temporal_fusion",
 _TRAIN_KEYS = {"lr", "decay", "max_grad_norm", "size_batch", "size_epoch",
                "seed", "temp", "p_mask", "pretrain_tasks", "pretrain_masks",
                "mvm_target", "vis_backbone_lr_mul", "lr_mult_head",
-               "logging_steps", "warmup_ratio", "freeze"}
+               "logging_steps", "warmup_ratio", "freeze", "profile_n_steps"}
 _DATA_KEYS = {"data_dir", "dataset", "task", "data_ratio", "n_workers",
               "size_part", "img_transform", "multi_clip_testing", "mask_pos",
               "tokenizer", "prompt", "num_beams", "decode"}

@@ -93,14 +93,39 @@ class AgentBase:
 
     # ---- loops ----
 
+    # capture a jax profiler trace of steps [PROFILE_FROM, PROFILE_FROM+N)
+    # when train.profile_n_steps > 0 (SURVEY §5: the reference has no
+    # profiler; jax trace + xprof is the TPU-native upgrade)
+    PROFILE_FROM = 3    # skip compile + warmup steps
+    _profiling = False
+
+    def _maybe_profile_start(self) -> None:
+        prof_n = getattr(self.cfg.train, "profile_n_steps", 0)
+        if (prof_n > 0 and not self._profiling
+                and self.global_step == self.PROFILE_FROM):
+            jax.profiler.start_trace(
+                os.path.join(self.cfg.path_output, "profile"))
+            self._profiling = True
+
+    def _maybe_profile_stop(self, ls) -> None:
+        prof_n = getattr(self.cfg.train, "profile_n_steps", 0)
+        if self._profiling and self.global_step >= self.PROFILE_FROM + prof_n:
+            jax.block_until_ready(ls)
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.info("profiler trace written to %s/profile",
+                        self.cfg.path_output)
+
     def train_epoch(self, loader: Iterable, epoch: int) -> dict[str, float]:
         t_start = time.time()
         n = 0
         for batch in loader:
+            self._maybe_profile_start()
             sb = shard_batch(self.mesh, self._device_batch(batch))
             self.state, ls = self.train_step(self.state, sb, self.rng)
             self.global_step += 1
             n += 1
+            self._maybe_profile_stop(ls)
             for k, v in ls.items():
                 self.meters[k].update(float(v))
             if n % self.cfg.train.logging_steps == 0:
@@ -210,9 +235,11 @@ class PretrainAgent(AgentBase):
                  eval_every: int = 0, eval_fn=None) -> None:
         """MetaLoader-driven pretraining (ref: main_pretrain_yaml.py:151-194)."""
         for (task, batch), _ in zip(iter(meta_loader), range(num_steps)):
+            self._maybe_profile_start()
             sb = shard_batch(self.mesh, self._device_batch(batch))
             self.state, ls = self.train_step(self.state, sb, self.rng)
             self.global_step += 1
+            self._maybe_profile_stop(ls)
             for k, v in ls.items():
                 self.meters[f"{task}/{k}"].update(float(v))
             if self.global_step % self.cfg.train.logging_steps == 0:
