@@ -275,27 +275,38 @@ def violet_params_from_torch(
     sd = _slice_pos_embs(dict(sd), model_cfg)
     tree: Params = {}
 
-    # enc_img
-    swin = swin3d_params_from_torch(sd, model_cfg.swin.depths,
-                                    prefix="enc_img.swin.")
-    tree["enc_img"] = {"swin": swin}
-    if "enc_img.fc.weight" in sd:
-        _linear(tree, "enc_img.fc", sd, "enc_img.fc")
-    for k in ("emb_cls", "emb_pos", "emb_len", "emb_odr"):
-        if f"enc_img.{k}" in sd:
-            tree["enc_img"][k] = sd[f"enc_img.{k}"]
-    _layernorm(tree, "enc_img.norm", sd, "enc_img.norm")
+    # enc_img (optional: text-only / fusion-only checkpoints skip it —
+    # lenient intersection semantics, ref model.py:309-341)
+    if any(k.startswith("enc_img.swin.") for k in sd):
+        swin = swin3d_params_from_torch(sd, model_cfg.swin.depths,
+                                        prefix="enc_img.swin.")
+        tree["enc_img"] = {"swin": swin}
+        if "enc_img.fc.weight" in sd:
+            _linear(tree, "enc_img.fc", sd, "enc_img.fc")
+        for k in ("emb_cls", "emb_pos", "emb_len", "emb_odr"):
+            if f"enc_img.{k}" in sd:
+                tree["enc_img"][k] = sd[f"enc_img.{k}"]
+        if "enc_img.norm.weight" in sd:
+            _layernorm(tree, "enc_img.norm", sd, "enc_img.norm")
+    else:
+        logger.warning("no enc_img.swin.* keys in checkpoint; visual "
+                       "encoder left at init")
 
     # enc_txt
-    tree["enc_txt"] = {
-        "emb_txt": bert_embeddings_params_from_torch(sd, "enc_txt.emb_txt.")}
+    if any(k.startswith("enc_txt.emb_txt.") for k in sd):
+        tree["enc_txt"] = {"emb_txt":
+                           bert_embeddings_params_from_torch(
+                               sd, "enc_txt.emb_txt.")}
+    else:
+        tree["enc_txt"] = {}
     if any(k.startswith("enc_txt.txt_trsfr.") for k in sd):
         tree["enc_txt"]["txt_trsfr"] = bert_encoder_params_from_torch(
             sd, "enc_txt.txt_trsfr.", model_cfg.text.num_hidden_layers)
 
     # fusion transformer
-    tree["trsfr"] = bert_encoder_params_from_torch(
-        sd, "trsfr.", model_cfg.fusion.num_hidden_layers)
+    if any(k.startswith("trsfr.") for k in sd):
+        tree["trsfr"] = bert_encoder_params_from_torch(
+            sd, "trsfr.", model_cfg.fusion.num_hidden_layers)
 
     # task heads
     for name, kind in (heads or {}).items():

@@ -7,13 +7,24 @@ the dominant HBM round-trip of the backbone (stage 0: ~B*64 windows x heads x
 196^2 floats, written then re-read). This kernel keeps the whole
 score -> +bias -> +shift-mask -> softmax -> @v chain in VMEM:
 
-  grid = (B_,)  — one window per program, all heads in-program;
-  q/k/v blocks (1, nH, N, hd) stream HBM->VMEM with double buffering;
-  the relative-position bias (nH, N, N) stays resident in VMEM;
-  the shift mask block (1, N, N) is indexed per window via the index map.
+  grid = (head_tiles, B_/G) — G windows x a tile of heads per program.
+  Windows are tiny (N=196, hd=32), so per-window programs are dominated by
+  grid/DMA overhead: batching G windows into one program amortizes it ~Gx
+  (measured: the swin-base fwd+bwd attention cost drops ~2.5x at batch 16).
+  All reshapes/broadcasts touch leading dims only — the lane/sublane layout
+  (N, hd minor) never changes, which Mosaic handles natively. (A channel-last
+  variant that split heads in-kernel crashed the Mosaic compiler; leading-dim
+  blocking is the safe axis.)
 
-VMEM budget at the largest stage (nH=32, N=196): scores 32*196^2*4B ~= 4.9MB
-+ qkv blocks ~1.2MB — comfortably under the ~16MB/core limit.
+  q/k/v blocks (G, Hb, N, hd) stream HBM->VMEM with double buffering;
+  the relative-position bias tile (Hb, N, N) stays resident in VMEM;
+  the shift mask block (G, N, N) rides the same index map (windows within a
+  block are consecutive, so its block index is b % (nW/G)).
+
+VMEM: the backward holds ~5 (G*Hb, N, N) fp32 temporaries, the forward ~2;
+per-pass unit caps (_FWD_UNITS/_BWD_UNITS) keep them inside v5e's ~16MB
+VMEM/core with room for block double-buffering (caps found empirically —
+oversubscription crashes the Mosaic compiler with an opaque 500).
 
 Falls back to the pure-XLA einsum path off-TPU (CPU tests run the kernel in
 interpreter mode for parity).
@@ -30,43 +41,59 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Max G*Hb (window, head) units per program, found empirically on v5e
+# (~16MB VMEM/core): the forward holds ~2 fp32 (N, N) temporaries per unit,
+# the backward ~5, so the backward caps at half the units. Oversubscribing
+# VMEM crashes the Mosaic compiler with an opaque remote-compile 500.
+_FWD_UNITS = 16
+_BWD_UNITS = 8
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)          # (nH, N, hd)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+    q = q_ref[...].astype(jnp.float32)         # (G, Hb, N, hd)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...]
+    g, hb, n, hd = q.shape
 
     s = jax.lax.dot_general(
-        q * scale, k,
+        (q * scale).reshape(g * hb, n, hd), k.reshape(g * hb, n, hd),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)    # (nH, N, N)
-    s = s + bias_ref[...]                      # rel-pos bias (nH, N, N)
-    s = s + mask_ref[0][None, :, :]            # shift mask (N, N)
+        preferred_element_type=jnp.float32)     # (G*Hb, N, N)
+    s = s.reshape(g, hb, n, n)
+    s = s + bias_ref[...][None]                 # rel-pos bias (Hb, N, N)
+    m = mask_ref[...]                           # (G or 1, N, N)
+    s = s + jnp.broadcast_to(m[:, None], (m.shape[0], hb, n, n)) \
+        if m.shape[0] == g else s + m[0][None, None]
 
-    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1).astype(v.dtype)
     o = jax.lax.dot_general(
-        p, v,
+        p, v.reshape(g * hb, n, hd),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)    # (nH, N, hd)
-    o_ref[0] = o.astype(o_ref.dtype)
+        preferred_element_type=jnp.float32)     # (G*Hb, N, hd)
+    o_ref[...] = o.reshape(g, hb, n, hd).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
                      dq_ref, dk_ref, dv_ref, dbias_ref, *, scale):
-    """Recompute-then-differentiate backward (flash-attention style, one
-    window x one head-tile per program). The rel-pos-bias cotangent
+    """Recompute-then-differentiate backward (flash-attention style, G
+    windows x one head-tile per program). The rel-pos-bias cotangent
     accumulates across the sequential grid into a single block."""
     b = pl.program_id(1)
 
-    q = q_ref[0].astype(jnp.float32)          # (Hb, N, hd)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[...].astype(jnp.float32)          # (G, Hb, N, hd)
+    g, hb, n, hd = q.shape
+    q = q.reshape(g * hb, n, hd)
+    k = k_ref[...].astype(jnp.float32).reshape(g * hb, n, hd)
+    v = v_ref[...].astype(jnp.float32).reshape(g * hb, n, hd)
+    do = do_ref[...].astype(jnp.float32).reshape(g * hb, n, hd)
 
     s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    s = s + bias_ref[...] + mask_ref[0][None, :, :]
-    p = jax.nn.softmax(s, axis=-1)             # (Hb, N, N)
+    s = s.reshape(g, hb, n, n) + bias_ref[...][None]
+    m = mask_ref[...]
+    s = s + jnp.broadcast_to(m[:, None], (m.shape[0], hb, n, n)) \
+        if m.shape[0] == g else s + m[0][None, None]
+    p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1)   # (G*Hb, N, N)
 
     # dv = p^T @ do
     dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
@@ -79,45 +106,62 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
     dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,)))) * scale
     dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,)))) * scale
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = dq.reshape(g, hb, n, hd).astype(dq_ref.dtype)
+    dk_ref[...] = dk.reshape(g, hb, n, hd).astype(dk_ref.dtype)
+    dv_ref[...] = dv.reshape(g, hb, n, hd).astype(dv_ref.dtype)
 
     @pl.when(b == 0)
     def _():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    dbias_ref[...] += ds
+    dbias_ref[...] += jnp.sum(ds.reshape(g, hb, n, n), axis=0)
 
 
-def _head_tile(nh: int, n: int) -> int:
-    """Largest head tile keeping the 4 (Hb, N, N) fp32 temporaries of the
-    backward pass under ~8MB of VMEM."""
-    budget = 8 * 1024 * 1024
-    per_head = 4 * n * n * 4
-    hb = max(1, min(nh, budget // per_head))
+def _tiles(b_: int, nh: int, n: int, n_windows: int,
+           cap: int) -> tuple[int, int]:
+    """(head_tile, window_tile) with head_tile*window_tile <= cap; the window
+    tile must divide the window count (so a block never crosses a batch
+    row's window boundary) and B_."""
+    hb = min(nh, 8, cap)
     while nh % hb:
         hb -= 1
-    return hb
+    g_domain = n_windows if n_windows > 1 else b_
+    g = max(1, min(g_domain, cap // hb))
+    while g_domain % g or b_ % g:
+        g -= 1
+    return hb, g
+
+
+def _specs(b_, nh, n, hd, n_windows, cap):
+    hb, g = _tiles(b_, nh, n, n_windows, cap)
+    n_ht = nh // hb
+    n_b = b_ // g
+    qkv_spec = pl.BlockSpec((g, hb, n, hd), lambda ht, b: (b, ht, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((hb, n, n), lambda ht, b: (ht, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if n_windows > 1:
+        gm = g
+        mask_spec = pl.BlockSpec((g, n, n),
+                                 lambda ht, b: (b % (n_windows // g), 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        gm = 1
+        mask_spec = pl.BlockSpec((1, n, n), lambda ht, b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    del gm
+    return qkv_spec, bias_spec, mask_spec, (n_ht, n_b)
 
 
 def _fwd_pallas(q, k, v, bias, mask, n_windows, scale, interpret):
     b_, nh, n, hd = q.shape
-    hb = _head_tile(nh, n)
-    n_ht = nh // hb
+    qkv_spec, bias_spec, mask_spec, grid = _specs(b_, nh, n, hd, n_windows,
+                                                   _FWD_UNITS)
     flops = 2 * 2 * b_ * nh * n * n * hd
-    qkv_spec = pl.BlockSpec((1, hb, n, hd), lambda ht, b: (b, ht, 0, 0),
-                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
-        grid=(n_ht, b_),
-        in_specs=[
-            qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((hb, n, n), lambda ht, b: (ht, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda ht, b: (b % n_windows, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -130,24 +174,14 @@ def _fwd_pallas(q, k, v, bias, mask, n_windows, scale, interpret):
 
 def _bwd_pallas(q, k, v, bias, mask, do, n_windows, scale, interpret):
     b_, nh, n, hd = q.shape
-    hb = _head_tile(nh, n)
-    n_ht = nh // hb
-    qkv_spec = pl.BlockSpec((1, hb, n, hd), lambda ht, b: (b, ht, 0, 0),
-                            memory_space=pltpu.VMEM)
+    qkv_spec, bias_spec, mask_spec, grid = _specs(b_, nh, n, hd, n_windows,
+                                                   _BWD_UNITS)
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale),
-        grid=(n_ht, b_),
-        in_specs=[
-            qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((hb, n, n), lambda ht, b: (ht, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda ht, b: (b % n_windows, 0, 0),
-                         memory_space=pltpu.VMEM),
-            qkv_spec,
-        ],
-        out_specs=(qkv_spec, qkv_spec, qkv_spec,
-                   pl.BlockSpec((hb, n, n), lambda ht, b: (ht, 0, 0),
-                                memory_space=pltpu.VMEM)),
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec,
+                  qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(q.shape, q.dtype),

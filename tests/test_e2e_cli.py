@@ -143,3 +143,47 @@ def test_cli_qa_overfits_tiny_dataset(synth_env):
     assert max(accs) >= 0.99, accs
     # sustained, not a one-epoch blip
     assert np.mean(accs[-5:]) >= 0.8, accs[-5:]
+
+
+def test_cli_convert_ckpt(synth_env, tmp_path):
+    """torch .pt -> native msgpack conversion through the CLI."""
+    import torch
+    import transformers
+
+    from tests.synth_data import TINY_RUN_OVERRIDES, VOCAB
+
+    tmp = synth_env
+    fus = TINY_RUN_OVERRIDES["fusion"]
+    hf_cfg = transformers.BertConfig(
+        vocab_size=len(VOCAB), hidden_size=fus["hidden_size"],
+        num_hidden_layers=fus["num_hidden_layers"],
+        num_attention_heads=fus["num_attention_heads"],
+        intermediate_size=fus["intermediate_size"])
+    torch.manual_seed(0)
+    bert = transformers.BertForMaskedLM(hf_cfg)
+    sd = {}
+    for k, v in bert.bert.encoder.state_dict().items():
+        sd[f"trsfr.{k}"] = v
+    for k, v in bert.bert.embeddings.state_dict().items():
+        sd[f"enc_txt.emb_txt.{k}"] = v
+    for k, v in bert.cls.state_dict().items():
+        sd[f"fc_mtm.{k}"] = v
+    src = str(tmp / "ckpt_violet_x.pt")
+    torch.save(sd, src)
+
+    cfg = {"type": "qamc", "task": "t", "dataset": ["tgif"],
+           "tokenizer": str(tmp / "vocab.txt"), **TINY_RUN_OVERRIDES}
+    cfg_path = tmp / "c.json"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    dst = str(tmp / "out.msgpack")
+    from empirical_mvm_tpu.cli import convert_ckpt
+    _run_cli(convert_ckpt.main,
+             ["convert", "--src", src, "--dst", dst,
+              "--config", str(cfg_path), "--heads", "fc_mtm=mlm_head"])
+    assert os.path.exists(dst)
+    from flax.serialization import msgpack_restore
+    params = msgpack_restore(open(dst, "rb").read())
+    assert "trsfr" in params and "enc_txt" in params
+    assert "layer_0" in params["trsfr"]
