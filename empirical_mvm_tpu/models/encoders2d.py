@@ -95,9 +95,13 @@ class EncImgSwin(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.swin = SwinTransformer3D(
-            config=swin2d_config(self.config.vis_backbone_size),
-            dtype=self.dtype, name="swin")
+        # swin_custom override wins (research/tests); note it must carry a
+        # 2D-style geometry (patch (1,4,4), window (1,7,7)) to mirror HF
+        cfg2d = (self.config.swin_custom
+                 if self.config.swin_custom is not None
+                 else swin2d_config(self.config.vis_backbone_size))
+        self.swin = SwinTransformer3D(config=cfg2d, dtype=self.dtype,
+                                      name="swin")
         self.swin2bert = nn.Dense(self.config.hidden_size, dtype=self.dtype,
                                   name="swin2bert")
         self.embeds = _PosEmbeds(self.config.hidden_size,

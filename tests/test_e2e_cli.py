@@ -187,3 +187,25 @@ def test_cli_convert_ckpt(synth_env, tmp_path):
     params = msgpack_restore(open(dst, "rb").read())
     assert "trsfr" in params and "enc_txt" in params
     assert "layer_0" in params["trsfr"]
+
+
+def test_cli_retrieval_swin2d_backbone(synth_env):
+    """Alternate-backbone path through the config system: 2D Swin with mean
+    temporal fusion trains end to end (ref: visbackbone/swin.py:37,
+    args.py:161-170)."""
+    tmp = synth_env
+    synth_data.make_downstream(str(tmp / "data"), "msrvtt", "r2d-task",
+                               kind="retrieval", n_videos=4)
+    cfg_path = _write_cfg(
+        tmp, "retrieval", "r2d-task", "msrvtt",
+        extra={"vis_backbone": "swin2d", "temporal_fusion": "mean",
+               "size_epoch": 1,
+               "swin_custom": {"patch_size": [1, 4, 4],
+                               "window_size": [1, 7, 7],
+                               "embed_dim": 8, "depths": [1, 1, 1, 1],
+                               "num_heads": [1, 2, 4, 8],
+                               "drop_path_rate": 0.0, "final_norm": False}})
+    from empirical_mvm_tpu.cli import retrieval
+    _run_cli(retrieval.main, ["retrieval", "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    assert any(f.endswith(".msgpack") for f in os.listdir(run_dir))
