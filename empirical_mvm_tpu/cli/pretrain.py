@@ -30,6 +30,23 @@ def main():
 
     loaders = {}
     for ds_name in cfg.data.dataset:
+        # YAML-manifest composite dataset (ref: main_pretrain_yaml.py:10-105):
+        # {name}.yaml in data_dir selects the composite path with
+        # shard->host affinity sampling
+        yaml_path = os.path.join(cfg.data.data_dir, f"{ds_name}.yaml")
+        if ds_name.endswith(".yaml") or os.path.exists(yaml_path):
+            from empirical_mvm_tpu.data.composite import CompositeYamlDataset
+            ds = CompositeYamlDataset(
+                cfg, ds_name if ds_name.endswith(".yaml") else yaml_path,
+                split="train", tokzr=tokzr)
+            dl = ShardedBatchLoader(
+                ds, tc.size_batch, shuffle=True, seed=tc.seed,
+                num_hosts=jax.process_count(),
+                host_index=jax.process_index(),
+                num_threads=cfg.data.n_workers,
+                source_idx=ds.get_composite_source_idx())
+            loaders[ds_name] = (dl, 1)
+            continue
         txt_path = os.path.join(cfg.data.data_dir, f"txt_{ds_name}.json")
         with open(txt_path) as f:
             txt = json.load(f)

@@ -42,7 +42,8 @@ class ShardedBatchLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,
                  seed: int = 88, num_hosts: int = 1, host_index: int = 0,
                  drop_last: bool | None = None, num_threads: int = 8,
-                 prefetch: int = 2, limit_samples: int = -1):
+                 prefetch: int = 2, limit_samples: int = -1,
+                 source_idx: list[int] | None = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,12 +56,24 @@ class ShardedBatchLoader:
         # per-host sample cap (ref: swinbert/data_sampler.py:13-95
         # DistributedSamplerLimited)
         self.limit_samples = limit_samples
+        # per-item source-shard ids: whole shards get host affinity instead
+        # of the contiguous split (ref: swinbert/data_sampler.py:98-193
+        # NodeSplitSampler; used by composite YAML pretraining)
+        self.source_idx = source_idx
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def _indices(self) -> np.ndarray:
+        if self.source_idx is not None:
+            from empirical_mvm_tpu.data.composite import shard_affinity_indices
+            mine = shard_affinity_indices(
+                self.source_idx, self.num_hosts, self.host_index,
+                seed=self.seed + self.epoch, shuffle=self.shuffle)
+            if self.limit_samples > 0:
+                mine = mine[:self.limit_samples]
+            return np.asarray(mine)
         n = len(self.ds)
         idx = np.arange(n)
         if self.shuffle:

@@ -130,3 +130,31 @@ TINY_RUN_OVERRIDES = {
              "num_hidden_layers": 2, "num_attention_heads": 4,
              "intermediate_size": 64},
 }
+
+
+def make_pretrain_yaml(data_dir: str, name: str = "webvidcc", *,
+                       n_videos: int = 6, n_frames: int = 4,
+                       seed: int = 0) -> str:
+    """Composite-YAML pretrain manifest (ref: main_pretrain_yaml.py flow):
+    img/caption TSVs + caption_linelist, registered as {name}.yaml."""
+    import json as _json
+    os.makedirs(data_dir, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    from empirical_mvm_tpu.data.tsv import tsv_writer
+    rows_img, rows_cap, linelist = [], [], []
+    for i in range(n_videos):
+        rows_img.append([f"v{i}", "{}"]
+                        + [_jpeg_b64(rs) for _ in range(n_frames)])
+        rows_cap.append([f"v{i}", _json.dumps(
+            [{"caption": f"a red cat runs {i}"}])])
+        linelist.append([i, 0])
+    tsv_writer(rows_img, os.path.join(data_dir, f"{name}_img.tsv"))
+    tsv_writer(rows_cap, os.path.join(data_dir, f"{name}_cap.tsv"))
+    with open(os.path.join(data_dir, f"{name}_linelist.tsv"), "w") as f:
+        for a, b in linelist:
+            f.write(f"{a}\t{b}\n")
+    yaml_path = os.path.join(data_dir, f"{name}.yaml")
+    with open(yaml_path, "w") as f:
+        f.write(f"img: {name}_img.tsv\ncaption: {name}_cap.tsv\n"
+                f"caption_linelist: {name}_linelist.tsv\n")
+    return yaml_path

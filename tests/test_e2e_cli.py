@@ -209,3 +209,18 @@ def test_cli_retrieval_swin2d_backbone(synth_env):
     _run_cli(retrieval.main, ["retrieval", "--config", cfg_path])
     run_dir = _latest_run_dir(str(tmp / "out"))
     assert any(f.endswith(".msgpack") for f in os.listdir(run_dir))
+
+
+def test_cli_pretrain_composite_yaml(synth_env):
+    """YAML-manifest composite pretraining end to end
+    (ref: main_pretrain_yaml.py)."""
+    tmp = synth_env
+    synth_data.make_pretrain_yaml(str(tmp / "data"), "webvidcc")
+    cfg_path = _write_cfg(tmp, "pretrain", "pretrain-yaml", "webvidcc",
+                          extra={"mvm_target": ["pixel"],
+                                 "pretrain_masks": ["rm", "bm"]})
+    from empirical_mvm_tpu.cli import pretrain
+    _run_cli(pretrain.main, ["pretrain", "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    assert any("pretrain" in f and f.endswith(".msgpack")
+               for f in os.listdir(run_dir))
