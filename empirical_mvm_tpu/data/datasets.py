@@ -126,11 +126,32 @@ class TsvImageSource:
         # (the torch reference gets isolation from worker processes instead,
         # utils/tsv_file.py:103-111)
         self._lock = threading.Lock()
+        # prefer the lock-free native mmap reader (native/tsv_reader.cpp):
+        # id2lineidx stores byte offsets; row numbers follow offset order
+        # because the pickle indexes every row of the img TSV
+        self._native = None
+        self._vid2row: dict[str, int] | None = None
+        try:
+            from empirical_mvm_tpu.data.native_tsv import (NativeTSVFile,
+                                                           native_available)
+            if native_available():
+                self._native = NativeTSVFile(img_tsv_path)
+                offs = sorted(self.id2lineidx.values())
+                if len(offs) == self._native.num_rows():
+                    off2row = {o: i for i, o in enumerate(offs)}
+                    self._vid2row = {v: off2row[o]
+                                     for v, o in self.id2lineidx.items()}
+                else:           # partial index: keep the seek path
+                    self._native = None
+        except Exception:  # noqa: BLE001 — .so missing/unbuildable
+            self._native = None
 
     def frames(self, video_id: str) -> list[str] | None:
         import os
         if video_id not in self.id2lineidx:
             return None
+        if self._native is not None:
+            return self._native[self._vid2row[video_id]][2:]
         with self._lock:
             if self._fp is None or self._pid != os.getpid():
                 self._fp = open(self.tsv_path, "r")

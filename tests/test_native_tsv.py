@@ -59,3 +59,33 @@ def test_decode_error_codes(tsv):
     nf = NativeTSVFile(path)
     with pytest.raises(ValueError):
         nf.decode_fields([(0, 99)])   # field out of range
+
+
+def test_image_source_native_matches_python(tmp_path):
+    """TsvImageSource returns identical frames via the native mmap reader
+    and the locked seek+readline fallback."""
+    import pickle
+
+    from empirical_mvm_tpu.data.datasets import TsvImageSource
+    from empirical_mvm_tpu.data.native_tsv import native_available
+
+    rows = []
+    path = tmp_path / "img_x.tsv"
+    idx = {}
+    with open(path, "w") as f:
+        for i in range(5):
+            idx[f"v{i}"] = f.tell()
+            f.write(f"v{i}\t{{}}\tAAA{i}\tBBB{i}\n")
+    with open(tmp_path / "img_x.pkl", "wb") as f:
+        pickle.dump(idx, f)
+
+    src = TsvImageSource(str(path), str(tmp_path / "img_x.pkl"))
+    native_used = src._native is not None
+    got = {v: src.frames(v) for v in idx}
+    # force the fallback path and compare
+    src._native = None
+    got_py = {v: src.frames(v) for v in idx}
+    assert got == got_py
+    assert got["v3"] == ["AAA3", "BBB3"]
+    if native_available():
+        assert native_used
