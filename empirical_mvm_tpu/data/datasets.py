@@ -135,6 +135,10 @@ class TsvImageSource:
             from empirical_mvm_tpu.data.native_tsv import (NativeTSVFile,
                                                            native_available)
             if native_available():
+                # downstream img TSVs ship only id2lineidx.pkl; the native
+                # reader needs the row-offset .lineidx sidecar — generate it
+                # once like PretrainTsvDataset does (datasets.py:422)
+                TSVFile(img_tsv_path, generate_lineidx_if_missing=True)
                 self._native = NativeTSVFile(img_tsv_path)
                 offs = sorted(self.id2lineidx.values())
                 if len(offs) == self._native.num_rows():

@@ -139,9 +139,23 @@ class MetaLoader:
     def __init__(self, loaders: dict[str, tuple[ShardedBatchLoader, int]],
                  seed: int = 88, accum_steps: int = 1):
         self.loaders = {n: l for n, (l, _) in loaders.items()}
+        # ratios may be rational (iters ratios) — scale so every dataset
+        # gets a non-zero integer slot count instead of silently dropping
+        # weights < 1 via int() truncation
+        ratios = {n: float(r) for n, (_, r) in loaders.items()}
+        if any(r <= 0 for r in ratios.values()):
+            bad = [n for n, r in ratios.items() if r <= 0]
+            raise ValueError(f"MetaLoader ratios must be > 0: {bad}")
+        import math
+        from fractions import Fraction
+        fr = {n: Fraction(r).limit_denominator(1000)
+              for n, r in ratios.items()}
+        lcm = math.lcm(*(f.denominator for f in fr.values()))
+        counts = {n: max(1, int(f * lcm)) for n, f in fr.items()}
+        g = math.gcd(*counts.values())
         self.pool: list[str] = []
-        for name, (_, ratio) in loaders.items():
-            self.pool.extend([name] * int(ratio))
+        for name, c in counts.items():
+            self.pool.extend([name] * (c // g))
         self.seed = seed
         self.accum_steps = accum_steps
         self.step = 0

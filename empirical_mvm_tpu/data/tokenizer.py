@@ -16,6 +16,8 @@ Also implements the reference's text-side batch helpers:
 
 from __future__ import annotations
 
+import logging
+import os
 import unicodedata
 from typing import Sequence
 
@@ -180,8 +182,22 @@ class WordPieceTokenizer:
         return self.vocab[self.unk_token]
 
 
+#: bundled fallback vocab (tools/build_vocab.py): bert-base-uncased
+#: structural layout (30522 entries, [PAD]=0/[UNK]=100/[CLS]=101/[SEP]=102/
+#: [MASK]=103) with full printable-ascii char coverage. Zero-egress
+#: replacement for the reference's hub download (ref: dataset.py:22).
+FALLBACK_VOCAB = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "fallback-uncased-vocab.txt")
+
+
 def load_tokenizer(name_or_vocab_path: str = "bert-base-uncased"):
-    """Prefer HF (if cached / local dir), else a vocab.txt path."""
+    """Prefer HF (if cached / local dir), else a vocab.txt path, else the
+    bundled fallback vocab (so every CLI starts without network access).
+
+    The fallback matches bert-base-uncased's special-token ids and size but
+    NOT its word-level ids — to reproduce a released checkpoint's text
+    pipeline exactly, pass the official vocab.txt path instead.
+    """
     try:
         import transformers
         return transformers.AutoTokenizer.from_pretrained(
@@ -189,6 +205,11 @@ def load_tokenizer(name_or_vocab_path: str = "bert-base-uncased"):
     except Exception:
         if name_or_vocab_path.endswith(".txt"):
             return WordPieceTokenizer.from_vocab_file(name_or_vocab_path)
+        if os.path.exists(FALLBACK_VOCAB):
+            logging.getLogger(__name__).warning(
+                "tokenizer %r not available offline; using the bundled "
+                "fallback vocab %s", name_or_vocab_path, FALLBACK_VOCAB)
+            return WordPieceTokenizer.from_vocab_file(FALLBACK_VOCAB)
         raise
 
 

@@ -13,8 +13,8 @@ model.py:135-148):
 Design notes (TPU-native, documented deviations):
 * the 2D Swin is our :class:`SwinTransformer3D` with ``patch_size=(1,4,4)``
   and ``window_size=(1,7,7)`` — mathematically a per-frame 2D Swin (temporal
-  kernel/stride/window of 1); HF microsoft/swin-* weight import is a
-  follow-up (zero-egress environment has no HF weights anyway);
+  kernel/stride/window of 1); HF microsoft/swin-* weights import via
+  :func:`swin2d_params_from_hf` (parity-tested in tests/test_encoders2d.py);
 * ResNet BatchNorm runs with frozen statistics (the reference freezes the
   stem+layer1 when pretrained, resnet50.py:18-21; full frozen-stats BN is
   the standard serving-mode choice on TPU).

@@ -45,20 +45,25 @@ from jax.experimental.pallas import tpu as pltpu
 # (~16MB VMEM/core): the forward holds ~2 fp32 (N, N) temporaries per unit,
 # the backward ~5, so the backward caps at half the units. Oversubscribing
 # VMEM crashes the Mosaic compiler with an opaque remote-compile 500.
-_FWD_UNITS = 16
-_BWD_UNITS = 8
+# Env overrides are for tuning experiments (tools/kbench.py).
+import os as _os
+_FWD_UNITS = int(_os.environ.get("EMVM_FWD_UNITS", "16"))
+_BWD_UNITS = int(_os.environ.get("EMVM_BWD_UNITS", "16"))
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale):
-    q = q_ref[...].astype(jnp.float32)         # (G, Hb, N, hd)
-    k = k_ref[...].astype(jnp.float32)
+    # matmuls run in the INPUT dtype (bf16 from the model) with fp32
+    # accumulation — the MXU multiplies bf16 natively; fp32 multiplies cost
+    # several passes. Softmax and the bias/mask adds stay fp32.
+    q = q_ref[...]                             # (G, Hb, N, hd)
+    k = k_ref[...]
     v = v_ref[...]
     g, hb, n, hd = q.shape
 
     s = jax.lax.dot_general(
-        (q * scale).reshape(g * hb, n, hd), k.reshape(g * hb, n, hd),
+        q.reshape(g * hb, n, hd), k.reshape(g * hb, n, hd),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)     # (G*Hb, N, N)
+        preferred_element_type=jnp.float32) * scale   # (G*Hb, N, N) fp32
     s = s.reshape(g, hb, n, n)
     s = s + bias_ref[...][None]                 # rel-pos bias (Hb, N, N)
     m = mask_ref[...]                           # (G or 1, N, N)
@@ -77,34 +82,45 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
                      dq_ref, dk_ref, dv_ref, dbias_ref, *, scale):
     """Recompute-then-differentiate backward (flash-attention style, G
     windows x one head-tile per program). The rel-pos-bias cotangent
-    accumulates across the sequential grid into a single block."""
+    accumulates across the sequential grid into a single block.
+
+    Matmul operands stay in the INPUT dtype (bf16 from the model) with fp32
+    accumulation; softmax and the ds reduction run fp32. p/ds are cast back
+    to the input dtype for their matmuls — standard mixed-precision flash
+    attention. Halving the (N, N) operand bytes also lifts the VMEM unit cap
+    8 -> 16."""
     b = pl.program_id(1)
 
-    q = q_ref[...].astype(jnp.float32)          # (G, Hb, N, hd)
+    q = q_ref[...]                              # (G, Hb, N, hd)
     g, hb, n, hd = q.shape
     q = q.reshape(g * hb, n, hd)
-    k = k_ref[...].astype(jnp.float32).reshape(g * hb, n, hd)
-    v = v_ref[...].astype(jnp.float32).reshape(g * hb, n, hd)
-    do = do_ref[...].astype(jnp.float32).reshape(g * hb, n, hd)
+    k = k_ref[...].reshape(g * hb, n, hd)
+    v = v_ref[...].reshape(g * hb, n, hd)
+    do = do_ref[...].reshape(g * hb, n, hd)
+    dtype = q.dtype
 
-    s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
     s = s.reshape(g, hb, n, n) + bias_ref[...][None]
     m = mask_ref[...]
     s = s + jnp.broadcast_to(m[:, None], (m.shape[0], hb, n, n)) \
         if m.shape[0] == g else s + m[0][None, None]
-    p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1)   # (G*Hb, N, N)
+    p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1)   # (G*Hb, N, N) f32
+    p_lo = p.astype(dtype)
 
     # dv = p^T @ do
-    dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+    dv = jax.lax.dot_general(p_lo, do, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     # dp = do @ v^T
     dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))   # f32
+    ds_lo = ds.astype(dtype)
 
-    dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,)))) * scale
-    dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,)))) * scale
+    dq = jax.lax.dot_general(ds_lo, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds_lo, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
 
     dq_ref[...] = dq.reshape(g, hb, n, hd).astype(dq_ref.dtype)
     dk_ref[...] = dk.reshape(g, hb, n, hd).astype(dk_ref.dtype)

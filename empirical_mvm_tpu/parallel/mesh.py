@@ -41,6 +41,12 @@ def make_data_mesh(batch_size: int, axis_name: str = "data") -> Mesh:
         if batch_size % k == 0:
             best = k
             break
+    if best < n:
+        import logging
+        logging.getLogger(__name__).warning(
+            "batch size %d only divides across %d of %d devices — %d chips "
+            "will sit IDLE. Pick a batch size divisible by the device count.",
+            batch_size, best, n, n - best)
     return make_mesh(best, axis_name)
 
 

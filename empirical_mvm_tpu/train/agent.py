@@ -119,6 +119,7 @@ class AgentBase:
     def train_epoch(self, loader: Iterable, epoch: int) -> dict[str, float]:
         t_start = time.time()
         n = 0
+        pending: list[dict] = []   # device scalars; drained at logging steps
         for batch in loader:
             self._maybe_profile_start()
             sb = shard_batch(self.mesh, self._device_batch(batch))
@@ -126,18 +127,29 @@ class AgentBase:
             self.global_step += 1
             n += 1
             self._maybe_profile_stop(ls)
-            for k, v in ls.items():
-                self.meters[k].update(float(v))
+            # don't block on the step result every iteration: calling
+            # float(v) here would serialize host collate with device compute.
+            # Buffer the device scalars and flush at logging_steps — the EMA
+            # update order (and hence every logged value) is unchanged.
+            pending.append(ls)
             if n % self.cfg.train.logging_steps == 0:
+                self._drain_meters(pending)
                 vals = {k: round(m.val, 4) for k, m in self.meters.items()}
                 logger.info("ep %d step %d %s", epoch, self.global_step, vals)
                 if self.metrics is not None:
                     self.metrics.log({f"train_{k}": v for k, v in vals.items()},
                                      self.global_step)
+        self._drain_meters(pending)
         dt = time.time() - t_start
         out = {k: m.val for k, m in self.meters.items()}
         out["steps_per_sec"] = n / max(dt, 1e-9)
         return out
+
+    def _drain_meters(self, pending: list[dict], prefix: str = "") -> None:
+        for ls in pending:
+            for k, v in ls.items():
+                self.meters[prefix + k].update(float(v))
+        pending.clear()
 
     def _device_batch(self, batch: dict) -> dict:
         """Strip non-numeric fields (video-id strings etc.) before device
@@ -234,15 +246,18 @@ class PretrainAgent(AgentBase):
     def run_meta(self, meta_loader, num_steps: int,
                  eval_every: int = 0, eval_fn=None) -> None:
         """MetaLoader-driven pretraining (ref: main_pretrain_yaml.py:151-194)."""
+        pending: list[tuple[str, dict]] = []
         for (task, batch), _ in zip(iter(meta_loader), range(num_steps)):
             self._maybe_profile_start()
             sb = shard_batch(self.mesh, self._device_batch(batch))
             self.state, ls = self.train_step(self.state, sb, self.rng)
             self.global_step += 1
             self._maybe_profile_stop(ls)
-            for k, v in ls.items():
-                self.meters[f"{task}/{k}"].update(float(v))
+            pending.append((task, ls))   # defer host sync (see train_epoch)
             if self.global_step % self.cfg.train.logging_steps == 0:
+                for t, dls in pending:
+                    self._drain_meters([dls], prefix=f"{t}/")
+                pending.clear()
                 vals = {k: round(m.val, 4) for k, m in self.meters.items()}
                 logger.info("step %d %s", self.global_step, vals)
                 if self.metrics is not None:
@@ -254,6 +269,9 @@ class PretrainAgent(AgentBase):
                                 eval_fn(self.state.params))
                 self.save(self.global_step, tag="pretrain")
                 self.save_resumable()
+        for t, dls in pending:
+            self._drain_meters([dls], prefix=f"{t}/")
+        pending.clear()
 
 
 def make_supervised_agent(loss_kind: str):

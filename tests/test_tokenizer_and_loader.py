@@ -1,5 +1,6 @@
 """Tests for the WordPiece tokenizer, transforms, and loaders."""
 
+import os
 import numpy as np
 import pytest
 
@@ -145,3 +146,31 @@ def test_loader_limit_samples():
     dl = ShardedBatchLoader(ds, 2, shuffle=False, limit_samples=6)
     batches = list(dl)
     assert len(batches) == 3  # 6 samples / batch 2
+
+
+def test_fallback_vocab_loads_offline():
+    """Zero-egress startup: load_tokenizer('bert-base-uncased') must work
+    with no HF cache by falling back to the bundled vocab
+    (tools/build_vocab.py; ref downloads from the hub, dataset.py:22)."""
+    from empirical_mvm_tpu.data.tokenizer import (FALLBACK_VOCAB,
+                                                  load_tokenizer)
+    assert os.path.exists(FALLBACK_VOCAB)
+    tk = load_tokenizer("bert-base-uncased")
+    assert tk.vocab_size == 30522
+    # canonical special-token ids (bert-base-uncased layout)
+    assert (tk.pad_token_id, tk.unk_token_id, tk.cls_token_id,
+            tk.sep_token_id, tk.mask_token_id) == (0, 100, 101, 102, 103)
+    # char-piece coverage: no printable-ascii word ever hits [UNK]
+    ids = tk.encode("a person zzxqj-floofs 42 skateboarding!")
+    assert tk.unk_token_id not in ids
+    assert ids[0] == tk.cls_token_id and ids[-1] == tk.sep_token_id
+
+
+def test_meta_loader_fractional_ratios():
+    """Weights < 1 (rational iters ratios) must not be silently dropped."""
+    ds = _ToyDS(8)
+    mk = lambda: ShardedBatchLoader(ds, 2, shuffle=False)
+    ml = MetaLoader({"a": (mk(), 1.0), "b": (mk(), 0.5)}, seed=3)
+    assert ml.pool.count("a") == 2 and ml.pool.count("b") == 1
+    with pytest.raises(ValueError):
+        MetaLoader({"a": (mk(), 0)}, seed=3)
