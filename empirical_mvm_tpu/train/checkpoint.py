@@ -138,10 +138,14 @@ def load_torch_violet_ckpt(path: str, model_cfg, heads: dict[str, str]
         remap_swinbert_keys, violet_params_from_torch)
 
     sd = torch.load(path, map_location="cpu")
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
+    for wrapper in ("state_dict", "model", "module"):   # trainer wrappers
+        if isinstance(sd, dict) and wrapper in sd \
+                and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
           for k, v in sd.items()}
+    if all(k.startswith("module.") for k in sd):        # DDP-wrapped save
+        sd = {k[len("module."):]: v for k, v in sd.items()}
     if "SwinBERT" in op.basename(path):
         sd = remap_swinbert_keys(sd)
     return violet_params_from_torch(sd, model_cfg, heads=heads)

@@ -138,18 +138,17 @@ def test_violet_trunk_parity():
     np.testing.assert_allclose(np.asarray(vtm_j), vtm_t, atol=3e-4, rtol=1e-3)
 
 
-@requires_reference
-def test_torch_pt_checkpoint_ingestion(tmp_path):
-    """A reference-style .pt state dict round-trips through
-    load_torch_violet_ckpt into a usable param tree (the release-checkpoint
-    path, ref model.py:295-353)."""
+def _reference_format_sd(cfg, seed: int = 3):
+    """Build a state_dict with the reference's EXACT key strings: the real
+    reference VideoSwin module's own state_dict under ``enc_img.swin.``, HF
+    BERT keys under ``enc_txt.emb_txt.``/``trsfr.``, and an OVERSIZED
+    emb_pos/emb_len to trigger the slice-on-load path (ref model.py:342-353).
+    """
     import torch
     from tests.ref_loader import load_ref_video_swin
-    from empirical_mvm_tpu.train.checkpoint import load_torch_violet_ckpt
 
-    cfg = _tiny_model_cfg()
     ref_mod = load_ref_video_swin()
-    torch.manual_seed(3)
+    torch.manual_seed(seed)
     swin_t = ref_mod.SwinTransformer3D(
         pretrained=None, patch_size=_TINY_SWIN.patch_size,
         embed_dim=_TINY_SWIN.embed_dim, depths=list(_TINY_SWIN.depths),
@@ -185,6 +184,20 @@ def test_torch_pt_checkpoint_ingestion(tmp_path):
         sd[f"trsfr.{k}"] = v
     for k, v in bert.cls.state_dict().items():
         sd[f"fc_mtm.{k}"] = v
+    return sd
+
+
+@requires_reference
+def test_torch_pt_checkpoint_ingestion(tmp_path):
+    """A reference-style .pt state dict round-trips through
+    load_torch_violet_ckpt into a usable param tree (the release-checkpoint
+    path, ref model.py:295-353)."""
+    import torch
+    from empirical_mvm_tpu.train.checkpoint import load_torch_violet_ckpt
+
+    cfg = _tiny_model_cfg()
+    sd = _reference_format_sd(cfg)
+    d = cfg.hidden_size
 
     path = str(tmp_path / "ckpt_violet_pretrain.pt")
     torch.save(sd, path)
@@ -246,3 +259,105 @@ def test_encvideo_swinbert_layout():
     assert np.all(f[:, ::lv_stride] == 0)
     assert np.all(m[:, ::lv_stride] == 0) and np.all(
         m.reshape(2, 2, lv_stride)[:, :, 1:] == 1)
+
+
+@requires_reference
+def test_convert_ckpt_cli_wrapped_reference_format(tmp_path, monkeypatch):
+    """The de-facto reference integration path: a trainer-wrapped .pt
+    ({'state_dict': {'module.<ref keys>': tensor}}) goes through the
+    cli/convert_ckpt.py CLI into a flax msgpack that matches the direct
+    in-memory import and drives a real forward (ref model.py:295-353)."""
+    import torch
+    import jax
+    from empirical_mvm_tpu.cli import convert_ckpt
+    from empirical_mvm_tpu.train.checkpoint import (load_params,
+                                                    load_torch_violet_ckpt)
+
+    cfg = _tiny_model_cfg()
+    sd = _reference_format_sd(cfg)
+    wrapped = {"state_dict": {f"module.{k}": v for k, v in sd.items()}}
+    src = str(tmp_path / "ckpt_violet_pretrain.pt")
+    torch.save(wrapped, src)
+
+    # write a reference-style FLAT task json so the CLI slices pos-embs to
+    # THIS tiny geometry (load_run_config parses flat keys, ref args.py:14-22)
+    import dataclasses, json
+    cfg_json = str(tmp_path / "cfg.json")
+    with open(cfg_json, "w") as f:
+        json.dump({"task": "pretrain", "path_output": str(tmp_path),
+                   "size_img": cfg.size_img, "size_frame": cfg.size_frame,
+                   "size_txt": cfg.size_txt,
+                   "swin_custom": dataclasses.asdict(_TINY_SWIN),
+                   "fusion": dataclasses.asdict(TINY_BERT),
+                   "text": dataclasses.asdict(TINY_BERT)},
+                  f, default=list)
+
+    dst = str(tmp_path / "violet.msgpack")
+    monkeypatch.setattr("sys.argv", [
+        "convert_ckpt", "--src", src, "--dst", dst, "--config", cfg_json,
+        "--heads", "fc_mtm=mlm_head"])
+    convert_ckpt.main()
+
+    got = load_params(dst)
+    want = load_torch_violet_ckpt(src, cfg, heads={"fc_mtm": "mlm_head"})
+    flat_g = jax.tree_util.tree_leaves_with_path(got)
+    flat_w = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(want)}
+    assert len(flat_g) == len(flat_w) and flat_g
+    for p, v in flat_g:
+        np.testing.assert_array_equal(v, flat_w[jax.tree_util.keystr(p)],
+                                      err_msg=jax.tree_util.keystr(p))
+    # pos embs sliced to the configured geometry
+    d = cfg.hidden_size
+    assert got["enc_img"]["emb_pos"].shape == (1, 1, 1 + 14 ** 2, d)
+    assert got["enc_img"]["emb_len"].shape == (1, 6, 1, d)
+
+    # converted params drive a real forward
+    model = VioletBase(config=cfg)
+    rs = np.random.RandomState(0)
+    out = model.apply(
+        {"params": {k: v for k, v in got.items()
+                    if k in ("enc_img", "enc_txt", "trsfr")}},
+        rs.rand(1, 2, 64, 64, 3).astype(np.float32),
+        rs.randint(0, TINY_BERT.vocab_size, (1, 8)),
+        np.ones((1, 8), np.int64))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@requires_reference
+def test_swinbert_named_ckpt_remaps_on_load(tmp_path):
+    """A '...SwinBERT...' filename triggers the key remap of ref
+    model.py:355-386: swin.backbone->enc_img.swin,
+    trans_encoder.bert.encoder->trsfr, trans_encoder.cls.->fc_mtm, and the
+    duplicated decoder bias."""
+    import torch
+    from empirical_mvm_tpu.train.checkpoint import load_torch_violet_ckpt
+
+    cfg = _tiny_model_cfg()
+    sd = _reference_format_sd(cfg)
+    swinbert_sd = {}
+    for k, v in sd.items():
+        if k.startswith("enc_img.swin."):
+            swinbert_sd[k.replace("enc_img.swin.", "swin.backbone.")] = v
+        elif k.startswith("trsfr."):
+            swinbert_sd[k.replace("trsfr.", "trans_encoder.bert.encoder.")] = v
+        elif k.startswith("enc_txt.emb_txt."):
+            swinbert_sd[k.replace("enc_txt.emb_txt.",
+                                  "trans_encoder.bert.embeddings.")] = v
+        elif k.startswith("fc_mtm."):
+            swinbert_sd[k.replace("fc_mtm.", "trans_encoder.cls.")] = v
+        elif k.startswith("enc_img.fc."):
+            swinbert_sd[k.replace("enc_img.fc.", "fc.")] = v
+        # emb_cls/emb_pos/... have no SwinBERT source -> stay at init
+    path = str(tmp_path / "ckpt_base_SwinBERT.pt")
+    torch.save(swinbert_sd, path)
+
+    params = load_torch_violet_ckpt(path, cfg, heads={"fc_mtm": "mlm_head"})
+    assert "swin" in params["enc_img"] and "trsfr" in params
+    assert "emb_txt" in params["enc_txt"] and "fc_mtm" in params
+    # remapped swin numerics intact (flax key: patch_embed_proj_kernel,
+    # conv OIDHW -> DHWIO transposed on import)
+    ref_first = sd["enc_img.swin.patch_embed.proj.weight"].numpy()
+    got_first = params["enc_img"]["swin"]["patch_embed_proj_kernel"]
+    assert np.allclose(np.sort(ref_first.ravel()),
+                       np.sort(np.asarray(got_first).ravel()))

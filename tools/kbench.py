@@ -39,7 +39,7 @@ def make_args(b_, nh, n, hd, nw, dtype=jnp.bfloat16, seed=0):
     return q, k, v, bias, mask
 
 
-def timeit(f, *args, n_meas=20):
+def timeit(f, *args, n_meas=60):
     """Per-iteration device time: N dependent iterations inside ONE jitted
     fori_loop (a single dispatch — the axon tunnel adds ~ms per call, which
     would otherwise swamp sub-ms kernels)."""
