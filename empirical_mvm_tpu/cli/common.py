@@ -193,3 +193,44 @@ def _overlay(base, loaded):
     if extra:
         logger.info("unexpected checkpoint keys ignored: %s", sorted(extra)[:10])
     return out
+
+
+def load_teacher_params(cfg: RunConfig, params):
+    """Graft converted MVM-teacher weights into a freshly initialized
+    pretrain param tree (ref: main_pretrain.py:184-199 — the reference
+    builds torch teacher modules from checkpoints; here the frozen teachers
+    are flax submodules inside the jitted step, so their weights overlay the
+    init). Missing paths leave the random init in place (with a warning)."""
+    import numpy as np
+
+    def torch_sd(path):
+        import torch
+        sd = torch.load(path, map_location="cpu")
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                for k, v in sd.items()}
+
+    def graft(key, path, convert):
+        if key not in params:
+            return
+        if not path:
+            logger.warning("pretrain model has a %r teacher but no weight "
+                           "path is configured — teacher stays at RANDOM "
+                           "init (targets will be meaningless)", key)
+            return
+        if path.endswith((".pt", ".pth", ".bin")):
+            params[key] = convert(torch_sd(path))
+        else:
+            from empirical_mvm_tpu.train.checkpoint import load_params
+            params[key] = load_params(path)
+        logger.info("loaded %s teacher from %s", key, path)
+
+    m = cfg.model
+    from empirical_mvm_tpu.teachers.dvae import dvae_params_from_torch
+    from empirical_mvm_tpu.teachers.dpt import dpt_params_from_torch
+    from empirical_mvm_tpu.teachers.raft import raft_params_from_torch
+    graft("dvae", m.dalle_model_path, dvae_params_from_torch)
+    graft("dpt", m.midas_model_path, dpt_params_from_torch)
+    graft("raft", m.raft_model_path, raft_params_from_torch)
+    return params

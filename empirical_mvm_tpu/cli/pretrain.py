@@ -50,6 +50,21 @@ def main():
         txt_path = os.path.join(cfg.data.data_dir, f"txt_{ds_name}.json")
         with open(txt_path) as f:
             txt = json.load(f)
+        # pre-extracted dVAE tokens (cli/extract_vq.py output;
+        # ref main_pretrain.py:27-30 prefers on-the-fly when a dalle model
+        # is configured, mirrored by VioletPretrain.vq_on_the_fly)
+        vq = None
+        if "vq" in tc.mvm_target and not cfg.model.vq_on_the_fly:
+            vq_path = cfg.data.vq_path
+            if vq_path == "auto":
+                vq_path = os.path.join(cfg.data.data_dir,
+                                       f"vq_{ds_name}.pkl")
+                if not os.path.exists(vq_path):
+                    vq_path = ""
+            if vq_path:
+                import pickle
+                with open(vq_path, "rb") as f:
+                    vq = pickle.load(f)
         # sharded train TSVs: {name}_train_{part}.tsv (ref main_pretrain.py:44-47)
         parts = []
         for part in range(cfg.data.size_part):
@@ -64,7 +79,7 @@ def main():
         for i, p in enumerate(parts):
             ds = PretrainTsvDataset(cfg, "train", tokzr, p,
                                     txt.get("train", txt),
-                                    dataset_name=ds_name)
+                                    dataset_name=ds_name, vq=vq)
             dl = ShardedBatchLoader(
                 ds, tc.size_batch, shuffle=True, seed=tc.seed,
                 num_hosts=jax.process_count(),
@@ -76,6 +91,7 @@ def main():
 
     model = VioletPretrain(
         config=cfg.model, dtype=jnp.bfloat16,
+        vq_on_the_fly=cfg.model.vq_on_the_fly,
         mvm_target=tc.mvm_target, pretrain_tasks=tc.pretrain_tasks,
         pretrain_masks=tc.pretrain_masks, p_mask=tc.p_mask, temp=tc.temp,
         special_token_ids=(tokzr.cls_token_id, tokzr.sep_token_id,
@@ -95,6 +111,7 @@ def main():
     params = common.load_initial_params(
         cfg, model, init_fn,
         heads={"fc": "score_head", "fc_mtm": "mlm_head"})
+    params = common.load_teacher_params(cfg, params)
 
     steps_per_ep = sum(len(l) for l, _ in loaders.values())
     num_steps = steps_per_ep * tc.size_epoch

@@ -128,6 +128,12 @@ class ModelConfig:
     task_token: str = ""                # vtm | mc | oe | cap (ref: args.py:132)
     enable_prompt: bool = False         # encoded text-prompt prefix (ref: args.py:134)
     num_task_tokens: int = 10           # emb_task rows (ref: main_qaoe_lsmdc_fib.py:67)
+    # MVM teacher weights (ref: main_pretrain.py:184-199). Torch .pt
+    # state_dicts are converted on load; msgpack trees load directly.
+    vq_on_the_fly: bool = False         # dVAE in the train step vs pre-extracted
+    dalle_model_path: str = ""          # ref: utils/args.py:127
+    midas_model_path: str = ""          # ref DPT path (main_pretrain.py:190)
+    raft_model_path: str = ""           # ref uses torchvision pretrained raft
     fusion: BertConfig = field(default_factory=BertConfig.base_uncased)
     text: BertConfig = field(default_factory=BertConfig.base_uncased)
     swin_custom: SwinConfig | None = None   # test/research override
@@ -196,6 +202,10 @@ class DataConfig:
     prompt: str = ""                    # fib prompt text override (ref: main_qaoe_lsmdc_fib.py:24)
     num_beams: int = 1                  # >1: beam-search captioning (ref: main_caption.py:120)
     decode: str = "greedy"              # greedy | top-k | top-p (generation)
+    # pre-extracted dVAE tokens for MVM-VQ (ref: main_pretrain.py:27-30):
+    # "auto" loads vq_{dataset}.pkl beside the TSVs (cli/extract_vq.py
+    # output) when mvm_target includes "vq"; "" disables; else a .pkl path
+    vq_path: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -236,14 +246,15 @@ _MODEL_KEYS = {"vis_backbone", "vis_backbone_size", "temporal_fusion",
                "txt_backbone_embed_only", "size_img", "size_frame", "size_txt",
                "size_option", "size_vocab", "max_size_frame", "max_size_patch",
                "swinbert", "enable_task_token", "task_token", "enable_prompt",
-               "num_task_tokens"}
+               "num_task_tokens", "vq_on_the_fly", "dalle_model_path",
+               "midas_model_path", "raft_model_path"}
 _TRAIN_KEYS = {"lr", "decay", "max_grad_norm", "size_batch", "size_epoch",
                "seed", "temp", "p_mask", "pretrain_tasks", "pretrain_masks",
                "mvm_target", "vis_backbone_lr_mul", "lr_mult_head",
                "logging_steps", "warmup_ratio", "freeze", "profile_n_steps"}
 _DATA_KEYS = {"data_dir", "dataset", "task", "data_ratio", "n_workers",
               "size_part", "img_transform", "multi_clip_testing", "mask_pos",
-              "tokenizer", "prompt", "num_beams", "decode"}
+              "tokenizer", "prompt", "num_beams", "decode", "vq_path"}
 
 
 def validate_run_config(cfg: "RunConfig") -> "RunConfig":

@@ -224,3 +224,54 @@ def test_cli_pretrain_composite_yaml(synth_env):
     run_dir = _latest_run_dir(str(tmp / "out"))
     assert any("pretrain" in f and f.endswith(".msgpack")
                for f in os.listdir(run_dir))
+
+
+def test_cli_extract_vq_then_pretrain(synth_env):
+    """Offline VQ extraction -> pre-extracted MVM-VQ pretraining, end to end
+    (ref: main_pretrain.py:27-30,87 — the reference consumes such pickles
+    but ships no extractor; cli/extract_vq.py is ours)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    tmp = synth_env
+    synth_data.make_pretrain(str(tmp / "data"), "webvid2.5m")
+
+    # tiny random dVAE encoder saved as msgpack
+    from empirical_mvm_tpu.teachers.dvae import DvaeEncoder
+    from empirical_mvm_tpu.train.checkpoint import save_params
+    enc = DvaeEncoder(n_hid=8, vocab_size=32, n_blk_per_group=1,
+                      dtype=jnp.float32)
+    dvae_params = jax.jit(lambda: enc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"])()
+    dvae_path = str(tmp / "dvae.msgpack")
+    save_params(dvae_params, dvae_path)
+
+    from empirical_mvm_tpu.cli import extract_vq
+    out_pkl = str(tmp / "data" / "vq_webvid2.5m.pkl")
+    # size_img=64 / size_patch=32 -> 2x2 token grid, frames decoded at 16px
+    _run_cli(extract_vq.main, [
+        "extract_vq", "--tsv", str(tmp / "data" / "webvid2.5m_train_0.tsv"),
+        "--dvae", dvae_path, "--out", out_pkl,
+        "--size-img", "64", "--size-patch", "32", "--size-frame", "2",
+        "--batch", "2", "--n-hid", "8", "--vocab-size", "32",
+        "--n-blk-per-group", "1"])
+
+    with open(out_pkl, "rb") as f:
+        vq = pickle.load(f)
+    assert vq, "no videos extracted"
+    cell = next(iter(vq.values()))[0]
+    assert cell.shape == (2, 2) and cell.dtype == np.int32
+
+    # second shard gets the same dict (the CLI shares one vq pickle per ds)
+    # pretrain with pre-extracted vq (vq_on_the_fly stays False)
+    cfg_path = _write_cfg(tmp, "pretrain", "pretrain-vq", "webvid2.5m",
+                          extra={"size_part": 2,
+                                 "mvm_target": ["pixel", "vq"],
+                                 "pretrain_masks": ["rm", "bm"]})
+    from empirical_mvm_tpu.cli import pretrain
+    _run_cli(pretrain.main, ["pretrain", "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    assert any("pretrain" in f and f.endswith(".msgpack")
+               for f in os.listdir(run_dir))
