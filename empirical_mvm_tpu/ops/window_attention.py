@@ -43,12 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Max G*Hb (window, head) units per program, found empirically on v5e
 # (~16MB VMEM/core): the forward holds ~2 fp32 (N, N) temporaries per unit,
-# the backward ~5, so the backward caps at half the units. Oversubscribing
-# VMEM crashes the Mosaic compiler with an opaque remote-compile 500.
-# Env overrides are for tuning experiments (tools/kbench.py).
+# the backward ~4 fp32 + 2 bf16 (s/p/dp/ds stay fp32 even with bf16 matmul
+# operands), so the backward caps at half the units. 16 bwd units
+# oversubscribes VMEM and crashes the Mosaic compiler with an opaque
+# remote-compile 500; 12 compiles but is no faster than 8 (kbench sweep,
+# round 2). Env overrides are for tuning experiments (tools/kbench.py).
 import os as _os
 _FWD_UNITS = int(_os.environ.get("EMVM_FWD_UNITS", "16"))
-_BWD_UNITS = int(_os.environ.get("EMVM_BWD_UNITS", "16"))
+_BWD_UNITS = int(_os.environ.get("EMVM_BWD_UNITS", "8"))
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale):
