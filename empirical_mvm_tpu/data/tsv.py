@@ -16,6 +16,7 @@ from __future__ import annotations
 import logging
 import os
 import os.path as op
+import threading
 from typing import Iterable, Iterator, Sequence
 
 logger = logging.getLogger(__name__)
@@ -55,6 +56,10 @@ class TSVFile:
         self._lineidx: list[int] | None = None
         self._fp = None
         self._pid: int | None = None
+        # seek+readline is a two-step critical section on one shared handle;
+        # loader producer threads (data/loader.py) read concurrently, so an
+        # unlocked pair interleaves and yields garbage rows.
+        self._lock = threading.Lock()
 
     def _ensure_lineidx(self) -> list[int]:
         if self._lineidx is None:
@@ -77,9 +82,11 @@ class TSVFile:
 
     def seek(self, idx: int) -> list[str]:
         offsets = self._ensure_lineidx()
-        fp = self._ensure_fp()
-        fp.seek(offsets[idx])
-        return [s.decode("utf-8") for s in fp.readline().rstrip(b"\r\n").split(b"\t")]
+        with self._lock:
+            fp = self._ensure_fp()
+            fp.seek(offsets[idx])
+            raw = fp.readline()
+        return [s.decode("utf-8") for s in raw.rstrip(b"\r\n").split(b"\t")]
 
     def __getitem__(self, idx: int) -> list[str]:
         return self.seek(idx)

@@ -226,3 +226,37 @@ def test_partial_data_ratio(tmp_path):
     # val untouched
     ds3 = DatasetBase(cfg, "val", TK())
     assert ds3.partial_txt(txt) == txt
+
+
+def test_tsvfile_concurrent_reads(tmp_path):
+    """TSVFile.seek is a seek+readline pair on one shared handle; loader
+    producer threads read concurrently, so it must be atomic. Regression for
+    a race that surfaced as IndexError on short rows in the composite
+    pretrain e2e test."""
+    import threading
+
+    from empirical_mvm_tpu.data.tsv import TSVFile, tsv_writer
+
+    rows = [[f"key{i}", f"value-{i}-" + "x" * (i % 37)] for i in range(200)]
+    path = str(tmp_path / "t.tsv")
+    tsv_writer(rows, path)
+    tsv = TSVFile(path)
+
+    errors = []
+
+    def hammer(seed):
+        import random
+        rng = random.Random(seed)
+        for _ in range(500):
+            i = rng.randrange(len(rows))
+            got = tsv[i]
+            if got != rows[i]:
+                errors.append((i, got))
+                return
+
+    threads = [threading.Thread(target=hammer, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
