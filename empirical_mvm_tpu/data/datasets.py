@@ -79,16 +79,20 @@ class DatasetBase:
                              % (2 ** 31))
 
     def decode_clip(self, bufs: Sequence[str],
-                    idx: int | None = None) -> np.ndarray:
+                    idx: int | None = None,
+                    normalize: bool = True) -> np.ndarray:
         rng = self.item_rng(idx) if idx is not None else self.rng
         return decode_clip(bufs, self.size_img, self.size_frame,
                            split=self.split, transform=self.transform,
-                           rng=rng)
+                           rng=rng, normalize=normalize)
 
-    def zero_clip(self) -> np.ndarray:
-        """Corrupt-sample fallback (ref: main_pretrain.py:94-117)."""
+    def zero_clip(self, dtype=np.float32) -> np.ndarray:
+        """Corrupt-sample fallback (ref: main_pretrain.py:94-117). The uint8
+        pipeline zeroes corrupt clips ON DEVICE after normalization (via the
+        batch's ``corrupt`` flag) so the result matches the reference's
+        normalized-space zeros exactly."""
         return np.zeros((self.size_frame, self.size_img, self.size_img, 3),
-                        np.float32)
+                        dtype)
 
     def partial_txt(self, txt: list[dict]) -> list[dict]:
         """data_ratio subsetting, grouped by video (ref: dataset.py:40-52):
@@ -432,20 +436,51 @@ class PretrainTsvDataset(DatasetBase):
     def __len__(self):
         return self.tsv.num_rows()
 
-    def __getitem__(self, idx: int):
-        corrupt = False
+    def _read_clip(self, idx: int):
+        """(vid, uint8 clip, corrupt). On the native reader, base64-decode
+        ONLY the temporally-sampled frame fields in one batched C++ call and
+        feed cv2.imdecode zero-copy views — the Python path materializes
+        every field of the row as str first (ref's loader does the same
+        per-field python b64, utils/tsv_file.py:86-93). Clips stay uint8 on
+        the host; normalization runs on device (pretrain.losses)."""
+        from empirical_mvm_tpu.data.native_tsv import NativeTSVFile
+        from empirical_mvm_tpu.data.transforms import (clip_from_images,
+                                                       decode_raw_image,
+                                                       temporal_sample)
+        if isinstance(self.tsv, NativeTSVFile):
+            rb = self.tsv.row_bytes(idx)
+            tab = rb.find(b"\t")
+            vid = (rb if tab < 0 else rb[:tab]).decode("utf-8")
+            n_avail = rb.count(b"\t")
+            if n_avail <= 0:
+                return vid, self.zero_clip(np.uint8), True
+            sel = temporal_sample(n_avail, self.size_frame,
+                                  random_clip=self.split == "train",
+                                  rng=self.rng)
+            try:
+                raws = self.tsv.decode_fields(
+                    [(idx, 1 + i) for i in sel], copy=False)
+                imgs = [decode_raw_image(r) for r in raws]
+                return vid, clip_from_images(
+                    imgs, self.size_img, split=self.split,
+                    transform=self.transform, rng=self.rng,
+                    normalize=False), False
+            except Exception:
+                return vid, self.zero_clip(np.uint8), True
         row = self.tsv[idx]
         vid, bufs = row[0], row[1:]
+        try:
+            return vid, self.decode_clip(bufs, normalize=False), False
+        except Exception:
+            return vid, self.zero_clip(np.uint8), True
+
+    def __getitem__(self, idx: int):
+        vid, img, corrupt = self._read_clip(idx)
         raw_txt = ""
         if vid in self.txt:
             raw = self.txt[vid]
             raw_txt = raw[0] if isinstance(raw, list) else raw
         else:
-            corrupt = True
-        try:
-            img = self.decode_clip(bufs)
-        except Exception:
-            img = self.zero_clip()
             corrupt = True
         t = img.shape[0]
         h = w = self.size_img // self.cfg.model.size_patch
@@ -463,4 +498,8 @@ class PretrainTsvDataset(DatasetBase):
             img = np.zeros_like(img)
             vq_arr[:] = -1
         txt, mask = self.str2txt(raw_txt)
-        return {"img": img, "txt": txt, "mask": mask, "vq": vq_arr}
+        # ``corrupt`` lets the device zero the clip AFTER normalization,
+        # matching the reference's normalized-space zeros exactly (uint8
+        # zeros alone would normalize to -mean/std, not 0)
+        return {"img": img, "txt": txt, "mask": mask, "vq": vq_arr,
+                "corrupt": np.bool_(corrupt)}

@@ -17,6 +17,7 @@ import logging
 import os
 import os.path as op
 import subprocess
+import threading
 from typing import Sequence
 
 import numpy as np
@@ -81,6 +82,7 @@ class NativeTSVFile:
         self.handle = lib.tsv_open(tsv_path.encode(), lineidx_path.encode())
         if not self.handle:
             raise OSError(f"tsv_open failed for {tsv_path}")
+        self._tls = threading.local()
 
     def num_rows(self) -> int:
         return int(self.lib.tsv_num_rows(self.handle))
@@ -99,27 +101,37 @@ class NativeTSVFile:
         return self.row_bytes(idx).decode("utf-8").split("\t")
 
     def get_key(self, idx: int) -> str:
-        return self[idx][0]
+        rb = self.row_bytes(idx)
+        tab = rb.find(b"\t")
+        return (rb if tab < 0 else rb[:tab]).decode("utf-8")
 
-    _buf: np.ndarray | None = None
+    def num_fields(self, idx: int) -> int:
+        """Tab-separated field count of a row, without decoding it."""
+        return self.row_bytes(idx).count(b"\t") + 1
 
     def decode_fields(self, pairs: Sequence[tuple[int, int]],
                       max_field_bytes: int = 1 << 20,
-                      n_threads: int = 8,
+                      n_threads: int | None = None,
                       copy: bool = True) -> list[bytes] | list[np.ndarray]:
         """Batch base64-decode (row, field) pairs on the C++ thread pool.
 
-        With ``copy=False`` returns zero-copy numpy views into an internal
-        buffer that is INVALIDATED by the next call — the fast path for
-        feeding cv2.imdecode directly.
+        With ``copy=False`` returns zero-copy numpy views into a
+        THREAD-LOCAL buffer that is INVALIDATED by this thread's next call —
+        the fast path for feeding cv2.imdecode directly. Loader producer
+        threads call this concurrently, hence per-thread buffers.
         """
         n = len(pairs)
+        if n_threads is None:
+            # loader producer threads already parallelize across items; only
+            # fan out in C++ when the host actually has spare cores
+            n_threads = max(1, min((os.cpu_count() or 1) // 2, n))
         rows = (ctypes.c_int64 * n)(*[p[0] for p in pairs])
         fields = (ctypes.c_int32 * n)(*[p[1] for p in pairs])
         need = n * max_field_bytes
-        if self._buf is None or self._buf.size < need:
-            self._buf = np.empty(need, np.uint8)
-        buf = self._buf
+        tls = self._tls
+        buf = getattr(tls, "buf", None)
+        if buf is None or buf.size < need:
+            tls.buf = buf = np.empty(need, np.uint8)
         out_lens = (ctypes.c_int64 * n)()
         self.lib.tsv_decode_batch(
             self.handle, rows, fields, n,

@@ -226,7 +226,7 @@ class VioletPretrain(VioletBase):
                 "out_smtm": out_smtm,
                 "ans_vtm": jnp.zeros((b,), jnp.int32)}
 
-    def losses(self, img, txt, mask, vq=None, hog=None,
+    def losses(self, img, txt, mask, vq=None, hog=None, corrupt=None,
                deterministic: bool = False):
         """One full pretrain step: on-device masking + forward + all losses
         (ref: Agent_Pretrain.masking at main_pretrain.py:276-372,
@@ -234,7 +234,10 @@ class VioletPretrain(VioletBase):
 
         ``img`` is the UNMASKED clip — fp32 ImageNet-normalized or raw
         uint8 (normalized here on device, quartering host->device bytes);
-        masking happens here, inside the jitted program.
+        masking happens here, inside the jitted program. ``corrupt`` (B,)
+        bool zeroes clips post-normalization, reproducing the reference's
+        corrupt-row zero fallback (ref: main_pretrain.py:94-117) for the
+        uint8 pipeline.
         """
         from empirical_mvm_tpu.data.masking import apply_masking
         from empirical_mvm_tpu.ops.preprocess import maybe_normalize
@@ -242,6 +245,9 @@ class VioletPretrain(VioletBase):
             cross_entropy_ignore, masked_l1)
 
         img = maybe_normalize(img)
+        if corrupt is not None:
+            img = jnp.where(corrupt[:, None, None, None, None],
+                            jnp.zeros((), img.dtype), img)
 
         k_mask = self.make_rng("mask")
         k_neg = self.make_rng("mask")

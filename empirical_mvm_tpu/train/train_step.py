@@ -53,6 +53,7 @@ def make_pretrain_train_step(
                 {"params": params},
                 batch["img"], batch["txt"], batch["mask"],
                 vq=batch.get("vq"), hog=batch.get("hog"),
+                corrupt=batch.get("corrupt"),
                 deterministic=False,
                 method=model.losses,
                 rngs={"dropout": drop_rng, "mask": mask_rng})

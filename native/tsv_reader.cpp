@@ -181,8 +181,16 @@ void tsv_decode_batch(void* handle, const int64_t* rows,
     }
   };
   int32_t nt = n_threads > 0 ? n_threads : 4;
+  if (nt > n) nt = static_cast<int32_t>(n);
+  // thread spawn/join costs ~100us; for small batches (or a single-core
+  // host) decoding inline in the caller is strictly faster
+  if (nt <= 1 || n <= 2) {
+    worker();
+    return;
+  }
   std::vector<std::thread> pool;
-  for (int32_t t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (int32_t t = 1; t < nt; ++t) pool.emplace_back(worker);
+  worker();  // the calling thread participates instead of blocking in join
   for (auto& th : pool) th.join();
 }
 
