@@ -175,27 +175,33 @@ class WindowAttention3D(nn.Module):
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)                     # (3, B_, nH, N, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
         bias = table[rel_index.reshape(-1)].reshape(n, n, -1)   # (N, N, nH)
         bias = bias.transpose(2, 0, 1).astype(jnp.float32)      # (nH, N, N)
 
         if self.use_pallas and self.attn_drop == 0.0:
-            # fused Pallas path: score+bias+mask+softmax+@v stay in VMEM
+            # fused Pallas path: ONE transpose to (B_, 3nH, N, hd); the
+            # kernel reads its q/k/v head-tiles from that single array via
+            # block indexing — replacing the reshape/transpose/slice chain
+            # that profiled at ~2x the attention math itself
+            # (see ops/window_attention.py)
             from empirical_mvm_tpu.ops.window_attention import (
-                fused_window_attention)
+                packed_window_attention)
             if mask is not None:
                 mask_arr = jnp.asarray(mask, jnp.float32)
                 nw = mask.shape[0]
             else:
                 mask_arr = jnp.zeros((1, n, n), jnp.float32)
                 nw = 1
-            x = fused_window_attention(
-                q, k, v, bias, mask_arr, nw, float(scale),
-                jax.default_backend() != "tpu")
+            qkv = qkv.reshape(b_, n, 3 * self.num_heads, head_dim)
+            qkv = qkv.transpose(0, 2, 1, 3)            # (B_, 3nH, N, hd)
+            x = packed_window_attention(
+                qkv, bias, mask_arr, nw, self.num_heads, float(scale),
+                jax.default_backend() != "tpu")        # (B_, nH, N, hd)
         else:
+            qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
+            qkv = qkv.transpose(2, 0, 3, 1, 4)             # (3, B_, nH, N, hd)
+            q, k, v = qkv[0], qkv[1], qkv[2]
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
                               preferred_element_type=jnp.float32)
             attn = attn + bias[None]

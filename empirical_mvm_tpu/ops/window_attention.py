@@ -247,6 +247,276 @@ def _fwa_bwd(n_windows, scale, interpret, res, do):
 fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed-layout entry: q/k/v ride ONE (B_, 3*nH, N, hd) array — a single
+# transpose of the qkv projection output — and the kernel picks its q/k/v
+# head-tiles via BlockSpec index maps on the same array. This replaces the
+# unpacked path's (B_, N, 3, nH, hd) bias-add/reshape -> transpose -> slice
+# chain (profiled at ~2x the attention math itself per swin layer, round-2
+# trace: add_bitcast 2.0ms + layout copies 4.9ms + qkv slice 2.0ms vs attn
+# 2.35ms at stage 0) with one clean transpose each way. A true zero-copy
+# variant (column blocks straight off the (B_, N, 3*dim) GEMM output) is
+# rejected by the Mosaic lowering: block minor dims must be 128-divisible or
+# whole, and hd=32 is neither. The kernel bodies are shared with the
+# unpacked path.
+# ---------------------------------------------------------------------------
+
+
+def _packed_specs(b_, nh, n, hd, n_windows, cap):
+    hb, g = _tiles(b_, nh, n, n_windows, cap)
+    n_ht = nh // hb
+    # inputs: (B_, 3*nH, N, hd); segment s of {q,k,v} for head-tile ht sits
+    # at dim-1 block index s*n_ht + ht
+    qkv = lambda seg: pl.BlockSpec(
+        (g, hb, n, hd), lambda ht, b, s=seg: (b, s * n_ht + ht, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, hb, n, hd), lambda ht, b: (b, ht, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((hb, n, n), lambda ht, b: (ht, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if n_windows > 1:
+        mask_spec = pl.BlockSpec((g, n, n),
+                                 lambda ht, b: (b % (n_windows // g), 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((1, n, n), lambda ht, b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    return qkv, out_spec, bias_spec, mask_spec, (n_ht, b_ // g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def packed_window_attention(qkv: jax.Array, bias: jax.Array, mask: jax.Array,
+                            n_windows: int, n_heads: int, scale: float,
+                            interpret: bool = False) -> jax.Array:
+    """Fused window attention over the packed qkv tensor.
+
+    Args:
+      qkv:  (B_, 3*nH, N, hd) — the qkv Dense output transposed once; dim 1
+            is ordered (3, nH) exactly like the reference's reshape
+            (ref: visbackbone/video_swin.py:147-150).
+      bias: (nH, N, N) fp32 relative-position bias (trainable).
+      mask: (n_windows, N, N) fp32 additive shift mask (constant).
+    Returns:
+      (B_, nH, N, hd) in qkv.dtype.
+    """
+    return _packed_fwd(qkv, bias, mask, n_windows, n_heads, scale,
+                       interpret)[0]
+
+
+def _packed_fwd(qkv, bias, mask, n_windows, n_heads, scale, interpret):
+    b_, three_nh, n, hd = qkv.shape
+    assert b_ % n_windows == 0 and three_nh == 3 * n_heads
+    qkv_spec, out_spec, bias_spec, mask_spec, grid = _packed_specs(
+        b_, n_heads, n, hd, n_windows, _FWD_UNITS)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec,
+                  mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b_, n_heads, n, hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b_ * n_heads * n * n * hd,
+            bytes_accessed=4 * b_ * n_heads * n * hd * qkv.dtype.itemsize,
+            transcendentals=b_ * n_heads * n * n),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias, mask)
+    return out, (qkv, bias, mask)
+
+
+def _packed_bwd(n_windows, n_heads, scale, interpret, res, do):
+    qkv, bias, mask = res
+    b_, three_nh, n, hd = qkv.shape
+    qkv_spec, out_spec, bias_spec, mask_spec, grid = _packed_specs(
+        b_, n_heads, n, hd, n_windows, _BWD_UNITS)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec,
+                  mask_spec, out_spec],
+        out_specs=(out_spec, out_spec, out_spec, bias_spec),
+        out_shape=(jax.ShapeDtypeStruct((b_, n_heads, n, hd), qkv.dtype),
+                   jax.ShapeDtypeStruct((b_, n_heads, n, hd), qkv.dtype),
+                   jax.ShapeDtypeStruct((b_, n_heads, n, hd), qkv.dtype),
+                   jax.ShapeDtypeStruct(bias.shape, jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b_ * n_heads * n * n * hd,
+            bytes_accessed=8 * b_ * n_heads * n * hd * qkv.dtype.itemsize,
+            transcendentals=b_ * n_heads * n * n),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias, mask, do)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=1)
+    return dqkv, dbias, jnp.zeros_like(mask)
+
+
+packed_window_attention.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused self-attention for the BERT stacks (text/fusion encoders): per-ROW
+# additive masks (every sequence has its own padding/seq2seq mask, unlike
+# swin's shared per-window shift masks), no relative-position bias, and
+# in-kernel dropout on the attention probabilities (HF BertSelfAttention
+# semantics, ref model.py:124-131 trsfr). The (B, nH, N, N) probs tensor —
+# 62MB/layer/pass at the pretrain VTM shapes — never touches HBM. Dropout
+# uses the on-core PRNG seeded per (step, program), and the backward
+# recomputes the identical mask from the same seed.
+# ---------------------------------------------------------------------------
+
+
+def _sa_dropout(p, seed_ref, p_drop):
+    """Multiplicative inverted-dropout mask drawn from the core PRNG."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+    bits = pltpu.prng_random_bits(p.shape)            # int32 bits
+    thresh = jnp.int32(min(2**31 - 1,
+                           int(p_drop * 2.0**32) - 2**31))
+    keep = bits >= thresh                             # P(keep) = 1 - p_drop
+    return jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
+
+
+def _sa_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
+               p_drop):
+    q = q_ref[...]                                    # (G, Hb, N, hd)
+    k = k_ref[...]
+    v = v_ref[...]
+    g, hb, n, hd = q.shape
+    s = jax.lax.dot_general(
+        q.reshape(g * hb, n, hd), k.reshape(g * hb, n, hd),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    s = s.reshape(g, hb, n, n)
+    s = s + mask_ref[...][:, None]                    # (G, N, N) per-row mask
+    p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1)
+    if p_drop > 0.0:
+        p = _sa_dropout(p, seed_ref, p_drop)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v.reshape(g * hb, n, hd),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.reshape(g, hb, n, hd).astype(o_ref.dtype)
+
+
+def _sa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref, *, scale, p_drop):
+    q = q_ref[...]
+    g, hb, n, hd = q.shape
+    q = q.reshape(g * hb, n, hd)
+    k = k_ref[...].reshape(g * hb, n, hd)
+    v = v_ref[...].reshape(g * hb, n, hd)
+    do = do_ref[...].reshape(g * hb, n, hd)
+    dtype = q.dtype
+
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    s = s.reshape(g, hb, n, n) + mask_ref[...][:, None]
+    p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1)    # pre-dropout
+    if p_drop > 0.0:
+        pd = _sa_dropout(p, seed_ref, p_drop)         # same seed -> same mask
+    else:
+        pd = p
+    pd_lo = pd.astype(dtype)
+
+    # dv = pd^T @ do   (dropout applies on the prob side)
+    dv = jax.lax.dot_general(pd_lo, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    # dpd = do @ v^T; back through dropout: dp = dpd * mask/keep
+    dpd = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    if p_drop > 0.0:
+        dp = jnp.where(pd != 0.0, dpd * (1.0 / (1.0 - p_drop)), 0.0)
+    else:
+        dp = dpd
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_lo = ds.astype(dtype)
+
+    dq = jax.lax.dot_general(ds_lo, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds_lo, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+
+    dq_ref[...] = dq.reshape(g, hb, n, hd).astype(dq_ref.dtype)
+    dk_ref[...] = dk.reshape(g, hb, n, hd).astype(dk_ref.dtype)
+    dv_ref[...] = dv.reshape(g, hb, n, hd).astype(dv_ref.dtype)
+
+
+def _sa_specs(b, nh, n, hd, cap):
+    hb, g = _tiles(b, nh, n, b, cap)      # every row has its own mask
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    qkv_spec = pl.BlockSpec((g, hb, n, hd), lambda ht, r: (r, ht, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((g, n, n), lambda ht, r: (r, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return seed_spec, qkv_spec, mask_spec, (nh // hb, b // g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         mask: jax.Array, seed: jax.Array,
+                         scale: float, p_drop: float = 0.0,
+                         interpret: bool = False) -> jax.Array:
+    """dropout(softmax(q k^T * scale + mask)) v, fused per (row, head-tile).
+
+    Args:
+      q, k, v: (B, nH, N, hd).
+      mask:    (B, N, N) fp32 additive attention bias (not differentiated).
+      seed:    (1,) int32 dropout seed (ignored when p_drop == 0; pass a
+               fresh value per training step).
+      p_drop:  attention-probs dropout rate (0 disables, e.g. at eval).
+    Returns:
+      (B, nH, N, hd) in q.dtype.
+    """
+    return _sa_fwd(q, k, v, mask, seed, scale, p_drop, interpret)[0]
+
+
+def _sa_call(q, k, v, mask, seed, scale, p_drop, interpret, *, backward,
+             do=None):
+    b, nh, n, hd = q.shape
+    cap = _BWD_UNITS if backward else _FWD_UNITS
+    seed_spec, qkv_spec, mask_spec, grid = _sa_specs(b, nh, n, hd, cap)
+    if not backward:
+        return pl.pallas_call(
+            functools.partial(_sa_kernel, scale=scale, p_drop=p_drop),
+            grid=grid,
+            in_specs=[seed_spec, qkv_spec, qkv_spec, qkv_spec, mask_spec],
+            out_specs=qkv_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * b * nh * n * n * hd,
+                bytes_accessed=4 * q.size * q.dtype.itemsize,
+                transcendentals=b * nh * n * n),
+            interpret=interpret,
+        )(seed, q, k, v, mask)
+    return pl.pallas_call(
+        functools.partial(_sa_bwd_kernel, scale=scale, p_drop=p_drop),
+        grid=grid,
+        in_specs=[seed_spec, qkv_spec, qkv_spec, qkv_spec, mask_spec,
+                  qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),) * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * nh * n * n * hd,
+            bytes_accessed=8 * q.size * q.dtype.itemsize,
+            transcendentals=b * nh * n * n),
+        interpret=interpret,
+    )(seed, q, k, v, mask, do)
+
+
+def _sa_fwd(q, k, v, mask, seed, scale, p_drop, interpret):
+    out = _sa_call(q, k, v, mask, seed, scale, p_drop, interpret,
+                   backward=False)
+    return out, (q, k, v, mask, seed)
+
+
+def _sa_bwd(scale, p_drop, interpret, res, do):
+    q, k, v, mask, seed = res
+    dq, dk, dv = _sa_call(q, k, v, mask, seed, scale, p_drop, interpret,
+                          backward=True, do=do)
+    return dq, dk, dv, jnp.zeros_like(mask), jnp.zeros_like(seed)
+
+
+fused_self_attention.defvjp(_sa_fwd, _sa_bwd)
+
+
 def window_attention_reference(q, k, v, bias, mask, n_windows, scale):
     """Pure-XLA path (also the numerical oracle for the kernel)."""
     b_, nh, n, hd = q.shape
