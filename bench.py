@@ -62,7 +62,11 @@ def build(batch_size: int):
         # fused Pallas window attention: keeps the NxN score matrices in VMEM
         # (measured 14x faster than the XLA einsum path at stage-0 shapes)
         swin_custom=dataclasses.replace(SwinConfig.base(),
-                                        use_pallas_attention=True))
+                                        use_pallas_attention=True),
+        # fused self-attention in the 12-layer cross-modal encoder: probs
+        # (62MB/layer/pass at the VTM shapes) stay in VMEM, dropout in-kernel
+        fusion=dataclasses.replace(BertConfig.base_uncased(),
+                                   use_pallas_attention=True))
     model = VioletPretrain(config=cfg, dtype=jnp.bfloat16,
                            mvm_target=("pixel",),
                            pretrain_masks=("bm", "rm"))

@@ -100,6 +100,9 @@ class BertConfig:
     scan: bool = False      # nn.scan over layers: ~L-fold smaller trace/HLO
                             # (params stacked as layer.<p> (L, ...); no
                             # output_attentions, so incompatible with 'am')
+    use_pallas_attention: bool = False  # fused self-attention kernel (probs
+                            # stay in VMEM; in-kernel probs dropout); falls
+                            # back to the XLA path for output_attentions
 
     @classmethod
     def base_uncased(cls) -> "BertConfig":

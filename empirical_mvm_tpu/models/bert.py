@@ -90,17 +90,43 @@ class BertSelfAttention(nn.Module):
         k = k.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) / np.sqrt(hd)
-        if attn_bias is not None:
-            attn = attn + attn_bias.astype(jnp.float32)
-        probs = jax.nn.softmax(attn, axis=-1)
-        probs_c = nn.Dropout(cfg.attention_probs_dropout_prob)(
-            probs.astype(self.dtype), deterministic=deterministic)
+        p_drop = (0.0 if deterministic
+                  else float(cfg.attention_probs_dropout_prob))
+        if cfg.use_pallas_attention and not output_attentions:
+            # fused kernel: probs (62MB/layer/pass at pretrain VTM shapes)
+            # never leave VMEM; dropout rides the on-core PRNG
+            from empirical_mvm_tpu.ops.window_attention import (
+                fused_self_attention)
+            if attn_bias is None:
+                mask = jnp.zeros((b, l, l), jnp.float32)
+            else:
+                mask = jnp.broadcast_to(
+                    attn_bias.astype(jnp.float32).reshape(
+                        attn_bias.shape[0], *attn_bias.shape[2:])
+                    if attn_bias.ndim == 4 else attn_bias,
+                    (b, l, l))
+            if p_drop > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, np.iinfo(np.int32).max,
+                    dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            ctx = fused_self_attention(
+                q, k, v, mask, seed, float(1.0 / np.sqrt(hd)), p_drop,
+                jax.default_backend() != "tpu")
+            probs = None
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) / np.sqrt(hd)
+            if attn_bias is not None:
+                attn = attn + attn_bias.astype(jnp.float32)
+            probs = jax.nn.softmax(attn, axis=-1)
+            probs_c = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                probs.astype(self.dtype), deterministic=deterministic)
 
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_c, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_c, v,
+                             preferred_element_type=jnp.float32)
+        ctx = ctx.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, l, d)
         out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

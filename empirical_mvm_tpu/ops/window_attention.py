@@ -366,7 +366,9 @@ packed_window_attention.defvjp(_packed_fwd, _packed_bwd)
 
 def _sa_dropout(p, seed_ref, p_drop):
     """Multiplicative inverted-dropout mask drawn from the core PRNG."""
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+    # Mosaic caps prng_seed at two values: fold the 2D program id into one
+    prog = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], prog)
     bits = pltpu.prng_random_bits(p.shape)            # int32 bits
     thresh = jnp.int32(min(2**31 - 1,
                            int(p_drop * 2.0**32) - 2**31))
@@ -471,7 +473,10 @@ def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def _sa_call(q, k, v, mask, seed, scale, p_drop, interpret, *, backward,
              do=None):
     b, nh, n, hd = q.shape
-    cap = _BWD_UNITS if backward else _FWD_UNITS
+    # with dropout, fwd and bwd MUST share one grid/tile shape: the mask is
+    # regenerated from (seed, program_id) and the stream layout follows the
+    # block shape — different tilings would decorrelate fwd and bwd masks
+    cap = _BWD_UNITS if (backward or p_drop > 0.0) else _FWD_UNITS
     seed_spec, qkv_spec, mask_spec, grid = _sa_specs(b, nh, n, hd, cap)
     if not backward:
         return pl.pallas_call(

@@ -137,3 +137,78 @@ def test_packed_kernel_vjp_matches_reference_grads():
     for a, b2, name in zip(g_pk, g_ref, ("qkv", "bias")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    atol=3e-4, rtol=1e-3, err_msg=name)
+
+
+def test_fused_self_attention_matches_bert_layer():
+    """BertSelfAttention with the fused kernel (interpret, no dropout) must
+    match the XLA einsum path bit-for-tolerance, including per-row masks."""
+    import dataclasses
+
+    from empirical_mvm_tpu.core.config import BertConfig
+    from empirical_mvm_tpu.models.bert import (BertSelfAttention,
+                                               extended_attention_mask)
+
+    cfg = BertConfig(hidden_size=64, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=128)
+    rs = np.random.RandomState(0)
+    b, l = 4, 24
+    x = jnp.asarray(rs.randn(b, l, 64).astype(np.float32))
+    mask01 = np.ones((b, l), np.int32)
+    mask01[1, 17:] = 0
+    mask01[3, 5:] = 0
+    bias = extended_attention_mask(jnp.asarray(mask01))
+
+    ref_mod = BertSelfAttention(cfg, dtype=jnp.float32)
+    params = ref_mod.init(jax.random.PRNGKey(0), x, bias)["params"]
+    ref, _ = ref_mod.apply({"params": params}, x, bias, True)
+
+    pal_mod = BertSelfAttention(
+        dataclasses.replace(cfg, use_pallas_attention=True),
+        dtype=jnp.float32)
+    out, _ = pal_mod.apply({"params": params}, x, bias, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+    # seq2seq 3D mask variant (caption/smtm path)
+    m3 = np.tril(np.ones((l, l), np.int32))[None].repeat(b, 0)
+    bias3 = extended_attention_mask(jnp.asarray(m3))
+    ref3, _ = ref_mod.apply({"params": params}, x, bias3, True)
+    out3, _ = pal_mod.apply({"params": params}, x, bias3, True)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_self_attention_dropout_grads_consistent():
+    """With dropout active, fwd and bwd must see the SAME mask (the bwd
+    recomputes it from the same seed). Extract the dropped probs pd exactly
+    by feeding identity-valued v blocks, then check dv == pd^T @ do.
+    (Finite differences are useless here: the MXU's bf16 rounding noise on a
+    large loss dwarfs a small directional derivative.)"""
+    if jax.default_backend() != "tpu":
+        pytest.skip("in-kernel PRNG requires the TPU backend")
+    from empirical_mvm_tpu.ops.window_attention import fused_self_attention
+    rs = np.random.RandomState(0)
+    b, nh, n, hd = 2, 2, 16, 8
+    q = jnp.asarray(rs.randn(b, nh, n, hd).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, nh, n, hd).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, nh, n, hd).astype(np.float32))
+    mask = jnp.zeros((b, n, n), jnp.float32)
+    seed = jnp.asarray([123], jnp.int32)
+    f = jax.jit(lambda v: fused_self_attention(q, k, v, mask, seed,
+                                               hd ** -0.5, 0.5))
+    e1 = np.zeros((b, nh, n, hd), np.float32)
+    e1[:, :, :hd, :] = np.eye(hd)
+    e2 = np.zeros((b, nh, n, hd), np.float32)
+    e2[:, :, hd:, :] = np.eye(hd)
+    pd = np.concatenate([np.asarray(f(jnp.asarray(e1))),
+                         np.asarray(f(jnp.asarray(e2)))], axis=-1)
+    zero_frac = (pd == 0).mean()
+    assert 0.4 < zero_frac < 0.6, zero_frac        # ~p_drop of probs dropped
+
+    o = np.asarray(f(v))
+    np.testing.assert_allclose(o, np.einsum("bhqk,bhkd->bhqd", pd,
+                                            np.asarray(v)),
+                               atol=1e-2)          # fwd consistent with pd
+    dv_ref = np.einsum("bhqk,bhqd->bhkd", pd, 2 * o)
+    g = np.asarray(jax.jit(jax.grad(lambda v: jnp.sum(f(v) ** 2)))(v))
+    np.testing.assert_allclose(g, dv_ref, atol=5e-2)   # bwd used same mask

@@ -1,0 +1,117 @@
+"""MVM-target sweep benchmark (BASELINE config 5): clips/s/chip for the
+flagship pretrain step with each masked-visual-modeling teacher in the loop
+(ref: main_pretrain.py:374-553 calc_mvm_loss; teachers at :153-199).
+
+Teachers run frozen inside the jitted step (randomly initialized — weights
+don't change the FLOPs). Batch size falls back when a teacher doesn't fit.
+
+    python tools/mvmbench.py [--targets pixel,hog,...] [--batch 16]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+ALL_TARGETS = ["pixel", "hog", "vq", "depth", "optical_flow", "2d_feature",
+               "3d_feature"]
+
+
+def build(batch_size: int, target: str):
+    from empirical_mvm_tpu.core.config import (BertConfig, ModelConfig,
+                                               SwinConfig)
+    from empirical_mvm_tpu.models.pretrain import VioletPretrain
+    from empirical_mvm_tpu.train.optimizer import build_optimizer
+    from empirical_mvm_tpu.train.train_step import (create_train_state,
+                                                    make_pretrain_train_step)
+    cfg = ModelConfig(
+        vis_backbone_size="base", size_img=224, size_frame=4, size_txt=32,
+        vq_on_the_fly=(target == "vq"),
+        swin_custom=dataclasses.replace(SwinConfig.base(),
+                                        use_pallas_attention=True),
+        fusion=dataclasses.replace(BertConfig.base_uncased(),
+                                   use_pallas_attention=True))
+    model = VioletPretrain(config=cfg, dtype=jnp.bfloat16,
+                           mvm_target=(target,),
+                           vq_on_the_fly=(target == "vq"),
+                           pretrain_masks=("bm", "rm"))
+    b, t, s = batch_size, cfg.size_frame, cfg.size_img
+    rs = np.random.RandomState(0)
+    batch = {
+        "img": jnp.asarray(rs.rand(b, t, s, s, 3).astype(np.float32)),
+        "txt": jnp.asarray(rs.randint(999, 25000, (b, cfg.size_txt))
+                           .astype(np.int32)),
+        "mask": jnp.asarray(np.ones((b, cfg.size_txt), np.int32)),
+    }
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda: model.init(
+        {"params": rng, "dropout": rng, "mask": rng},
+        batch["img"], batch["txt"], batch["mask"],
+        method=model.losses)["params"])()
+    tx = build_optimizer(params, lr=5e-5, max_iter=1000)
+    step = make_pretrain_train_step(model, tx, mesh=None, donate=True)
+    state = create_train_state(params, tx)
+    return step, state, batch
+
+
+def measure(target: str, batch_sizes=(16, 8, 4)) -> tuple[float, int] | None:
+    for bs in batch_sizes:
+        try:
+            step, state, batch = build(bs, target)
+            rng = jax.random.PRNGKey(1)
+            state, ls = step(state, batch, rng)
+            jax.block_until_ready(ls)
+            for _ in range(2):
+                state, ls = step(state, batch, rng)
+            jax.block_until_ready(ls)
+            n = 8
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, ls = step(state, batch, rng)
+            jax.block_until_ready(ls)
+            dt = time.perf_counter() - t0
+            return bs * n / dt, bs
+        except Exception as e:  # noqa: BLE001
+            print(f"[{target}] bs={bs} failed: "
+                  f"{type(e).__name__}: {str(e)[:160]}", file=sys.stderr)
+            continue
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--targets", default=",".join(ALL_TARGETS))
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+    sizes = tuple(b for b in (args.batch, 8, 4) if b <= args.batch)
+
+    out = {}
+    for tgt in args.targets.split(","):
+        r = measure(tgt, sizes)
+        if r is None:
+            out[tgt] = None
+            print(f"{tgt:13s} FAILED", file=sys.stderr)
+        else:
+            cps, bs = r
+            out[tgt] = {"clips_per_sec": round(cps, 2), "batch": bs}
+            print(f"{tgt:13s} {cps:7.2f} clips/s (batch {bs})",
+                  file=sys.stderr)
+    print(json.dumps({"metric": "mvm_sweep_clips_per_sec", **out}))
+
+
+if __name__ == "__main__":
+    main()
