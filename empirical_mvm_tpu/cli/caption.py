@@ -148,8 +148,8 @@ def main():
                     words.append(tokzr.convert_ids_to_tokens([int(tid)])[0])
                 hyps[vid] = " ".join(w.replace("##", "") for w in words)
                 refs.setdefault(vid, []).append(batch["raw"][i])
-        return caption_scores(hyps, refs) if hyps else {"bleu4": 0.0,
-                                                        "cider": 0.0}
+        return caption_scores(hyps, refs) if hyps else {
+            "bleu4": 0.0, "cider": 0.0, "rouge_l": 0.0, "meteor": 0.0}
 
     if cfg.train.size_epoch > 0:
         agent.fit(loaders["train"], loaders.get("val"), loaders.get("test"),

@@ -82,10 +82,20 @@ class TSVFile:
 
     def seek(self, idx: int) -> list[str]:
         offsets = self._ensure_lineidx()
-        with self._lock:
-            fp = self._ensure_fp()
-            fp.seek(offsets[idx])
-            raw = fp.readline()
+
+        def read() -> bytes:
+            with self._lock:
+                fp = self._ensure_fp()
+                try:
+                    fp.seek(offsets[idx])
+                    return fp.readline()
+                except OSError:
+                    # transient FS error: drop the handle so the retry reopens
+                    self._fp = None
+                    raise
+
+        from empirical_mvm_tpu.core.retry import retry_io
+        raw = retry_io(read, what=f"tsv read {self.tsv_path}")
         return [s.decode("utf-8") for s in raw.rstrip(b"\r\n").split(b"\t")]
 
     def __getitem__(self, idx: int) -> list[str]:

@@ -54,13 +54,18 @@ def save_params(params: Any, path: str, meta: dict | None = None) -> None:
     os.makedirs(op.dirname(op.abspath(path)), exist_ok=True)
     import jax
     host_params = jax.tree.map(np.asarray, params)
+    from empirical_mvm_tpu.core.retry import retry_io
     if path.endswith(".msgpack"):
         from flax import serialization
         blob = serialization.to_bytes(host_params)
         tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
+
+        def write():
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+
+        retry_io(write, what=f"ckpt write {path}")
     elif path.endswith(".npz"):
         np.savez(path + ".tmp.npz", **_flatten(host_params))
         os.replace(path + ".tmp.npz", path)
@@ -76,10 +81,15 @@ def load_params(path: str, like: Any = None) -> Any:
     (a param tree) restores through the template with structure validation;
     ``like=None`` restores template-free (plain nested dicts) — required when
     the caller adapts layouts (scan vs per-layer) before merging."""
+    from empirical_mvm_tpu.core.retry import retry_io
     if path.endswith(".msgpack"):
         from flax import serialization
-        with open(path, "rb") as f:
-            data = f.read()
+
+        def read():
+            with open(path, "rb") as f:
+                return f.read()
+
+        data = retry_io(read, what=f"ckpt read {path}")
         if like is None:
             return serialization.msgpack_restore(data)
         return serialization.from_bytes(like, data)
@@ -103,11 +113,16 @@ def save_train_state(state, path: str, meta: dict | None = None) -> None:
     host_state = jax.tree.map(np.asarray, state)
     blob = serialization.to_bytes(host_state)
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    if op.exists(path):
-        os.replace(path, path + ".backup")
-    os.replace(tmp, path)
+
+    def write():
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        if op.exists(path):
+            os.replace(path, path + ".backup")
+        os.replace(tmp, path)
+
+    from empirical_mvm_tpu.core.retry import retry_io
+    retry_io(write, what=f"train-state write {path}")
     if meta is not None:
         with open(op.splitext(path)[0] + ".json", "w") as f:
             json.dump(meta, f, indent=2, default=str)
