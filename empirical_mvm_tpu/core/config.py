@@ -39,7 +39,10 @@ class SwinConfig:
     drop_path_rate: float = 0.2
     patch_norm: bool = True
     remat: bool = False     # jax.checkpoint each block (memory for FLOPs)
-    use_pallas_attention: bool = False  # fused window-attention kernel (TPU)
+    use_pallas_attention: bool = True   # fused window-attention kernel; the
+                            # model auto-falls back to the XLA einsum path
+                            # off-TPU (set EMVM_PALLAS_INTERPRET=1 to force
+                            # the kernel in interpret mode for tests)
     final_norm: bool = True  # HF 2D Swin hidden_states[-1] is pre-norm
     scan: bool = False      # nn.scan over (no-shift, shift) block pairs in
                             # even-depth stages >=4: ~depth/2-fold smaller
@@ -100,9 +103,11 @@ class BertConfig:
     scan: bool = False      # nn.scan over layers: ~L-fold smaller trace/HLO
                             # (params stacked as layer.<p> (L, ...); no
                             # output_attentions, so incompatible with 'am')
-    use_pallas_attention: bool = False  # fused self-attention kernel (probs
+    use_pallas_attention: bool = True   # fused self-attention kernel (probs
                             # stay in VMEM; in-kernel probs dropout); falls
-                            # back to the XLA path for output_attentions
+                            # back to the XLA path for output_attentions and
+                            # off-TPU (EMVM_PALLAS_INTERPRET=1 forces the
+                            # kernel in interpret mode for tests)
 
     @classmethod
     def base_uncased(cls) -> "BertConfig":

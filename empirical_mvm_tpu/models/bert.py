@@ -92,7 +92,10 @@ class BertSelfAttention(nn.Module):
 
         p_drop = (0.0 if deterministic
                   else float(cfg.attention_probs_dropout_prob))
-        if cfg.use_pallas_attention and not output_attentions:
+        import os as _os
+        on_tpu = jax.default_backend() == "tpu"
+        pallas_ok = on_tpu or bool(_os.environ.get("EMVM_PALLAS_INTERPRET"))
+        if cfg.use_pallas_attention and not output_attentions and pallas_ok:
             # fused kernel: probs (62MB/layer/pass at pretrain VTM shapes)
             # never leave VMEM; dropout rides the on-core PRNG
             from empirical_mvm_tpu.ops.window_attention import (
@@ -113,7 +116,7 @@ class BertSelfAttention(nn.Module):
                 seed = jnp.zeros((1,), jnp.int32)
             ctx = fused_self_attention(
                 q, k, v, mask, seed, float(1.0 / np.sqrt(hd)), p_drop,
-                jax.default_backend() != "tpu")
+                not on_tpu)
             probs = None
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,

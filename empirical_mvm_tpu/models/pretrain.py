@@ -183,7 +183,37 @@ class VioletPretrain(VioletBase):
 
         fi, mi, ft, mt = self.go_feat(img, txt, mask,
                                       deterministic=deterministic)
-        out, _ = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
+
+        # ---- VTM with in-batch negatives, vectorized ----
+        # (ref: main_pretrain.py:243-260). Row i pairs video i with caption i
+        # (positive) and O-1 random other captions. The reference pushes all
+        # B*O pairs through go_cross, but its (i, i) positive pair is the
+        # exact computation of the MTM pass — we score the positive from
+        # that pass's CLS and run fusion only on the B*(O-1) negatives,
+        # cutting the VTM fusion cost 25% with identical objective
+        # semantics. The MTM pass and the negatives RIDE ONE go_cross call
+        # (rows are independent under the full attention mask): one stack of
+        # 12-layer GEMMs at 4x the rows instead of two sequential passes —
+        # fewer, fatter MXU ops.
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        if o > 1:
+            scores = jax.random.uniform(rng, (b, b))
+            scores = scores - jnp.eye(b) * 2.0                # never self
+            _, neg_idx = jax.lax.top_k(scores, o - 1)         # (B, O-1)
+            rep = lambda x: jnp.repeat(x, o - 1, axis=0)      # video side
+            gather = lambda x: x[neg_idx.reshape(-1)]         # caption side
+            all_out, _ = self.go_cross(
+                jnp.concatenate([fi, rep(fi)], axis=0),
+                jnp.concatenate([mi, rep(mi)], axis=0),
+                jnp.concatenate([ft, gather(ft)], axis=0),
+                jnp.concatenate([mt, gather(mt)], axis=0),
+                deterministic=deterministic)
+            out, p_out = all_out[:b], all_out[b:]
+        else:
+            out, _ = self.go_cross(fi, mi, ft, mt,
+                                   deterministic=deterministic)
+            p_out = None
         out_mvm, out_txt = self._split_tokens(out, t, h, w)
         out_mtm = self.fc_mtm(out_txt)
 
@@ -194,27 +224,10 @@ class VioletPretrain(VioletBase):
             _, s_txt = self._split_tokens(s_out, t, h, w)
             out_smtm = self.fc_mtm(s_txt)
 
-        # ---- VTM with in-batch negatives, vectorized ----
-        # (ref: main_pretrain.py:243-260). Row i pairs video i with caption i
-        # (positive) and O-1 random other captions. The reference pushes all
-        # B*O pairs through go_cross, but its (i, i) positive pair is the
-        # exact computation of the MTM pass above — we score the positive
-        # from that pass's CLS and run fusion only on the B*(O-1) negatives,
-        # cutting the VTM fusion cost 25% with identical objective semantics.
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
         cls_pos = t * (1 + h * w)                              # first text token
         pos_logit = self.fc(out[:, cls_pos, :],
                             deterministic=deterministic)       # (B, 1)
-        if o > 1:
-            scores = jax.random.uniform(rng, (b, b))
-            scores = scores - jnp.eye(b) * 2.0                # never self
-            _, neg_idx = jax.lax.top_k(scores, o - 1)         # (B, O-1)
-            rep = lambda x: jnp.repeat(x, o - 1, axis=0)      # video side
-            gather = lambda x: x[neg_idx.reshape(-1)]         # caption side
-            p_out, _ = self.go_cross(rep(fi), rep(mi),
-                                     gather(ft), gather(mt),
-                                     deterministic=deterministic)
+        if p_out is not None:
             neg_logit = self.fc(p_out[:, cls_pos, :],
                                 deterministic=deterministic)
             out_vtm = jnp.concatenate(

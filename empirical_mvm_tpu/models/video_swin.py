@@ -160,9 +160,36 @@ class WindowAttention3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: np.ndarray | None = None,
-                 deterministic: bool = True):
-        b_, n, c = x.shape
-        head_dim = self.dim // self.num_heads
+                 deterministic: bool = True,
+                 window_eff: tuple[int, int, int] | None = None):
+        """``x`` is either pre-windowed (B_, N, C) or the padded/rolled 5D
+        feature map (B, Dp, Hp, Wp, C) with ``window_eff`` (the clamped
+        window). The 5D form lets the position-wise qkv GEMM run BEFORE
+        window partitioning, so partition+head-pack collapse into ONE
+        transpose each way (the qkv projection commutes with windowing, and
+        qkv(0)=bias on padded positions exactly matches the reference's
+        pad-then-project order, visbackbone/video_swin.py:213-229)."""
+        import os as _os
+        on_tpu = jax.default_backend() == "tpu"
+        pallas_ok = on_tpu or bool(_os.environ.get("EMVM_PALLAS_INTERPRET"))
+        use_fused = self.use_pallas and self.attn_drop == 0.0 and pallas_ok
+
+        five_d = x.ndim == 5
+        if five_d:
+            assert window_eff is not None
+            wd, wh, ww = window_eff
+            b5, dp, hp, wp, _ = x.shape
+            n = wd * wh * ww
+            # Partition BEFORE the qkv GEMM. A single 9D qkv-before-partition
+            # mega-transpose was measured SLOWER (52.2 -> 49.2 clips/s,
+            # round 2): its (…, ww, 3nH, hd) sublane pattern beats two clean
+            # transposes only on paper.
+            x = window_partition(x, window_eff)
+        if x.ndim == 3:
+            b_, n, _ = x.shape
+        c = self.dim
+        nh = self.num_heads
+        head_dim = c // nh
         scale = self.qk_scale or head_dim ** -0.5
 
         table = self.param(
@@ -173,18 +200,19 @@ class WindowAttention3D(nn.Module):
         )
         rel_index = _relative_position_index(tuple(self.window_size))[:n, :n]
 
+        # position-wise: applies equally to (B_, N, C) and (B, Dp, Hp, Wp, C)
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
 
         bias = table[rel_index.reshape(-1)].reshape(n, n, -1)   # (N, N, nH)
         bias = bias.transpose(2, 0, 1).astype(jnp.float32)      # (nH, N, N)
 
-        if self.use_pallas and self.attn_drop == 0.0:
-            # fused Pallas path: ONE transpose to (B_, 3nH, N, hd); the
-            # kernel reads its q/k/v head-tiles from that single array via
-            # block indexing — replacing the reshape/transpose/slice chain
-            # that profiled at ~2x the attention math itself
-            # (see ops/window_attention.py)
+        if use_fused:
+            # fused Pallas path: ONE transpose into (B_, 3nH, N, hd) — on
+            # the 5D input this transpose IS the window partition too — and
+            # the kernel reads q/k/v head-tiles via block indexing on the
+            # same array (the old reshape/transpose/slice chain profiled at
+            # ~2x the attention math; see ops/window_attention.py)
             from empirical_mvm_tpu.ops.window_attention import (
                 packed_window_attention)
             if mask is not None:
@@ -193,11 +221,12 @@ class WindowAttention3D(nn.Module):
             else:
                 mask_arr = jnp.zeros((1, n, n), jnp.float32)
                 nw = 1
-            qkv = qkv.reshape(b_, n, 3 * self.num_heads, head_dim)
+            qkv = qkv.reshape(b_, n, 3 * nh, head_dim)
             qkv = qkv.transpose(0, 2, 1, 3)            # (B_, 3nH, N, hd)
             x = packed_window_attention(
-                qkv, bias, mask_arr, nw, self.num_heads, float(scale),
-                jax.default_backend() != "tpu")        # (B_, nH, N, hd)
+                qkv, bias, mask_arr, nw, nh, float(scale),
+                not on_tpu)                            # (B_, nH, N, hd)
+            x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
         else:
             qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
             qkv = qkv.transpose(2, 0, 3, 1, 4)             # (3, B_, nH, N, hd)
@@ -215,10 +244,12 @@ class WindowAttention3D(nn.Module):
                                               deterministic=deterministic)
             x = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                            preferred_element_type=jnp.float32)
+            x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
 
-        x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
         x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+        if five_d:
+            x = window_reverse(x, window_eff, b5, dp, hp, wp)
         return x
 
 
@@ -279,14 +310,15 @@ class SwinTransformerBlock3D(nn.Module):
         else:
             mask = None
 
-        x_windows = window_partition(x, window_size)
-        attn_windows = WindowAttention3D(
+        # the attention module handles window partition/reverse internally:
+        # on the fused path they fold into the qkv/output transposes
+        x = WindowAttention3D(
             dim=self.dim, window_size=self.window_size, num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             use_pallas=self.use_pallas, dtype=self.dtype,
-            name="attn")(x_windows, mask=mask, deterministic=deterministic)
-        x = window_reverse(attn_windows, window_size, b, dp, hp, wp)
+            name="attn")(x, mask=mask, deterministic=deterministic,
+                         window_eff=window_size)
 
         if shifted:
             x = jnp.roll(x, shift=shift_size, axis=(1, 2, 3))

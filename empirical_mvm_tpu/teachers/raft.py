@@ -274,21 +274,40 @@ def build_corr_pyramid(f1: jax.Array, f2: jax.Array,
 def index_corr_pyramid(pyramid: list[jax.Array], coords: jax.Array,
                        radius: int = 4) -> jax.Array:
     """Lookup (2r+1)^2 neighborhoods at every level
-    (ref: raft.py:368-393). coords (B, h, w, 2) -> (B, h, w, L*(2r+1)^2)."""
+    (ref: raft.py:368-393). coords (B, h, w, 2) -> (B, h, w, L*(2r+1)^2).
+
+    TPU formulation: bilinear sampling of an axis-aligned offset grid is
+    SEPARABLE — the 2D bilinear weight of point (cx+di, cy+dj) against grid
+    cell (x, y) factors into tent(cx+di-x) * tent(cy+dj-y), and torch's
+    zero-padding drops out-of-range corners per axis independently. So the
+    81-point lookup becomes two dense contractions per level with per-row
+    tent-weight matrices, which XLA fuses into multiply-reduce ops on the
+    VPU. The gather version (one take_along_axis per bilinear corner) moved
+    ~585M scalars/step through the scalar pipeline and made optical-flow
+    pretraining 22x slower than MVM-pixel.
+    """
     b, h, w, _ = coords.shape
     side = 2 * radius + 1
-    d = jnp.stack(jnp.meshgrid(jnp.arange(-radius, radius + 1.0),
-                               jnp.arange(-radius, radius + 1.0),
-                               indexing="ij"), axis=-1)     # (side, side, 2) (di, dj)
-    # torch delta order is (di, dj) added to (x, y) coords: delta[..., 0]
-    # adds to x; replicate exactly.
-    delta = d.reshape(1, side * side, 2)
-    cen = coords.reshape(b * h * w, 1, 2)
+    # torch delta order: the FIRST offset axis (di) adds to x
+    # (ref: raft.py:375-381); output channel index is di*side+dj.
+    offs = jnp.arange(-radius, radius + 1.0, dtype=jnp.float32)   # (S,)
+    cen = coords.reshape(b * h * w, 2).astype(jnp.float32)
     feats = []
     for vol in pyramid:
-        pts = cen + delta                                   # (BHW, S*S, 2)
-        sampled = bilinear_sample(vol, pts)                 # (BHW, S*S, 1)
-        feats.append(sampled[..., 0])
+        r, hl, wl, _ = vol.shape
+        img = vol[..., 0]                                   # (R, hl, wl)
+        px = cen[:, 0:1] + offs[None]                       # (R, S) x targets
+        py = cen[:, 1:2] + offs[None]
+        xs = jnp.arange(wl, dtype=jnp.float32)
+        ys = jnp.arange(hl, dtype=jnp.float32)
+        ax = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, :, None] - xs))  # (R,S,wl)
+        ay = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, :, None] - ys))  # (R,S,hl)
+        # t[p, y, i] = sum_x img[p, y, x] * ax[p, i, x]
+        t = jnp.sum(img[:, :, None, :] * ax[:, None, :, :], axis=-1)
+        # o[p, i, j] = sum_y t[p, y, i] * ay[p, j, y]
+        o = jnp.sum(t[:, :, :, None] * ay.transpose(0, 2, 1)[:, :, None, :],
+                    axis=1)                                 # (R, S, S)
+        feats.append(o.reshape(r, side * side))
         cen = cen / 2
     out = jnp.concatenate(feats, axis=-1)                   # (BHW, L*S*S)
     return out.reshape(b, h, w, -1)

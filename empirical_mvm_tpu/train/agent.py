@@ -156,8 +156,10 @@ class AgentBase:
         transfer."""
         return {k: v for k, v in batch.items()
                 if (isinstance(v, np.ndarray)
-                    and np.issubdtype(v.dtype, np.number))
-                or isinstance(v, (int, float, np.integer, np.floating))}
+                    and (np.issubdtype(v.dtype, np.number)
+                         or v.dtype == np.bool_))   # e.g. the corrupt flag
+                or isinstance(v, (int, float, bool, np.integer,
+                                  np.floating, np.bool_))}
 
     def eval_batches(self, loader: Iterable):
         """Yield (host_batch, sharded_batch, n_valid): tail batches are padded

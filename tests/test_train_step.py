@@ -283,3 +283,19 @@ def test_pretrain_accepts_uint8_clips():
     ls_u = run(jnp.asarray(u8))
     for k in ls_f:
         assert float(ls_f[k]) == pytest.approx(float(ls_u[k]), rel=1e-4), k
+
+
+def test_device_batch_keeps_bool_corrupt_flag():
+    """The corrupt flag (B,) bool must survive AgentBase._device_batch —
+    it drives on-device zeroing of corrupt clips after normalization."""
+    import numpy as np
+
+    from empirical_mvm_tpu.train.agent import AgentBase
+
+    batch = {"img": np.zeros((2, 1, 8, 8, 3), np.uint8),
+             "txt": np.zeros((2, 4), np.int32),
+             "corrupt": np.array([True, False]),
+             "vid": ["a", "b"]}
+    out = AgentBase._device_batch(None, batch)
+    assert "corrupt" in out and out["corrupt"].dtype == np.bool_
+    assert "vid" not in out

@@ -38,9 +38,10 @@ from tests.conftest import requires_reference
 
 
 @requires_reference
-def test_swin_parity_with_pallas_path():
+def test_swin_parity_with_pallas_path(monkeypatch):
     """Full VideoSwin forward with the fused kernel (interpret mode) must
     still match the torch reference."""
+    monkeypatch.setenv("EMVM_PALLAS_INTERPRET", "1")
     from tests.test_video_swin_parity import _parity_case
     from empirical_mvm_tpu.core.config import SwinConfig
     cfg = SwinConfig(embed_dim=32, depths=(2, 2), num_heads=(2, 4),
@@ -139,9 +140,10 @@ def test_packed_kernel_vjp_matches_reference_grads():
                                    atol=3e-4, rtol=1e-3, err_msg=name)
 
 
-def test_fused_self_attention_matches_bert_layer():
+def test_fused_self_attention_matches_bert_layer(monkeypatch):
     """BertSelfAttention with the fused kernel (interpret, no dropout) must
     match the XLA einsum path bit-for-tolerance, including per-row masks."""
+    monkeypatch.setenv("EMVM_PALLAS_INTERPRET", "1")
     import dataclasses
 
     from empirical_mvm_tpu.core.config import BertConfig

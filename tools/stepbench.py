@@ -56,10 +56,12 @@ def build_step(batch_size, num_options=4, mvm=("pixel",), masks=("bm", "rm"),
     kw = dict(vis_backbone_size="base", size_img=224, size_frame=4,
               size_txt=32,
               swin_custom=dataclasses.replace(SwinConfig.base(),
-                                              use_pallas_attention=True))
+                                              use_pallas_attention=True),
+              fusion=dataclasses.replace(BertConfig.base_uncased(),
+                                         use_pallas_attention=True))
     if fusion_layers is not None:
         kw["fusion"] = dataclasses.replace(
-            BertConfig.base_uncased(), num_hidden_layers=fusion_layers)
+            kw["fusion"], num_hidden_layers=fusion_layers)
     cfg = ModelConfig(**kw)
     model = VioletPretrain(config=cfg, dtype=jnp.bfloat16, mvm_target=mvm,
                            pretrain_masks=masks, num_options=num_options)
