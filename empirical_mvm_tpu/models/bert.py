@@ -68,6 +68,22 @@ class BertEmbeddings(nn.Module):
         return x.astype(self.dtype)
 
 
+class _LinearParams(nn.Module):
+    """Kernel+bias params with nn.Dense's exact tree layout and inits, but
+    no compute — lets the caller fuse q/k/v into ONE GEMM while the HF
+    checkpoint mapping (attention/{query,key,value}/{kernel,bias}) stays
+    byte-identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class BertSelfAttention(nn.Module):
     """Multi-head self-attention + output projection + residual LayerNorm
     (HF BertAttention). Softmax in fp32; GEMMs in module dtype."""
@@ -83,12 +99,9 @@ class BertSelfAttention(nn.Module):
         nh = cfg.num_attention_heads
         hd = d // nh
 
-        q = nn.Dense(d, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(d, dtype=self.dtype, name="value")(x)
-        q = q.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        wq, bq = _LinearParams(d, name="query")(d)
+        wk, bk = _LinearParams(d, name="key")(d)
+        wv, bv = _LinearParams(d, name="value")(d)
 
         p_drop = (0.0 if deterministic
                   else float(cfg.attention_probs_dropout_prob))
@@ -96,10 +109,15 @@ class BertSelfAttention(nn.Module):
         on_tpu = jax.default_backend() == "tpu"
         pallas_ok = on_tpu or bool(_os.environ.get("EMVM_PALLAS_INTERPRET"))
         if cfg.use_pallas_attention and not output_attentions and pallas_ok:
-            # fused kernel: probs (62MB/layer/pass at pretrain VTM shapes)
-            # never leave VMEM; dropout rides the on-core PRNG
+            # single qkv GEMM (concatenated weights) + one transpose into the
+            # packed kernel; probs (62MB/layer/pass at pretrain VTM shapes)
+            # never leave VMEM and dropout rides the on-core PRNG
             from empirical_mvm_tpu.ops.window_attention import (
-                fused_self_attention)
+                packed_self_attention)
+            w3 = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            b3 = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            qkv = x @ w3 + b3                          # (B, L, 3D)
+            qkv = qkv.reshape(b, l, 3 * nh, hd).transpose(0, 2, 1, 3)
             if attn_bias is None:
                 mask = jnp.zeros((b, l, l), jnp.float32)
             else:
@@ -114,11 +132,16 @@ class BertSelfAttention(nn.Module):
                     dtype=jnp.int32)
             else:
                 seed = jnp.zeros((1,), jnp.int32)
-            ctx = fused_self_attention(
-                q, k, v, mask, seed, float(1.0 / np.sqrt(hd)), p_drop,
+            ctx = packed_self_attention(
+                qkv, mask, seed, nh, float(1.0 / np.sqrt(hd)), p_drop,
                 not on_tpu)
             probs = None
         else:
+            def lin(w, bb):
+                y = x @ w.astype(self.dtype) + bb.astype(self.dtype)
+                return y.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+
+            q, k, v = lin(wq, bq), lin(wk, bk), lin(wv, bv)
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                               preferred_element_type=jnp.float32) / np.sqrt(hd)
             if attn_bias is not None:

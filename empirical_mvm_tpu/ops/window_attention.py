@@ -441,14 +441,26 @@ def _sa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     dv_ref[...] = dv.reshape(g, hb, n, hd).astype(dv_ref.dtype)
 
 
-def _sa_specs(b, nh, n, hd, cap):
+def _sa_specs(b, nh, n, hd, cap, packed: bool = False):
+    """``packed``: q/k/v live in ONE (B, 3*nH, N, hd) array (the transposed
+    single-GEMM qkv projection); the three input specs pick segment
+    offsets on it, like the swin packed path."""
     hb, g = _tiles(b, nh, n, b, cap)      # every row has its own mask
+    n_ht = nh // hb
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    qkv_spec = pl.BlockSpec((g, hb, n, hd), lambda ht, r: (r, ht, 0, 0),
+    if packed:
+        qkv_spec = lambda seg: pl.BlockSpec(
+            (g, hb, n, hd), lambda ht, r, s=seg: (r, s * n_ht + ht, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        qkv_spec = lambda seg: pl.BlockSpec(
+            (g, hb, n, hd), lambda ht, r: (r, ht, 0, 0),
+            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, hb, n, hd), lambda ht, r: (r, ht, 0, 0),
                             memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((g, n, n), lambda ht, r: (r, 0, 0),
                              memory_space=pltpu.VMEM)
-    return seed_spec, qkv_spec, mask_spec, (nh // hb, b // g)
+    return seed_spec, qkv_spec, out_spec, mask_spec, (n_ht, b // g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -470,56 +482,100 @@ def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return _sa_fwd(q, k, v, mask, seed, scale, p_drop, interpret)[0]
 
 
-def _sa_call(q, k, v, mask, seed, scale, p_drop, interpret, *, backward,
-             do=None):
-    b, nh, n, hd = q.shape
+def _sa_call(args, mask, seed, scale, p_drop, interpret, *, backward,
+             n_heads=None, do=None):
+    """``args`` is (q, k, v) for the split layout or a single packed
+    (B, 3*nH, N, hd) array."""
+    packed = not isinstance(args, tuple)
+    if packed:
+        b, three_nh, n, hd = args.shape
+        nh = n_heads
+        assert three_nh == 3 * nh
+        ins = (args, args, args)
+        oshape = (b, nh, n, hd)
+        dtype = args.dtype
+    else:
+        b, nh, n, hd = args[0].shape
+        ins = args
+        oshape = args[0].shape
+        dtype = args[0].dtype
     # with dropout, fwd and bwd MUST share one grid/tile shape: the mask is
     # regenerated from (seed, program_id) and the stream layout follows the
     # block shape — different tilings would decorrelate fwd and bwd masks
     cap = _BWD_UNITS if (backward or p_drop > 0.0) else _FWD_UNITS
-    seed_spec, qkv_spec, mask_spec, grid = _sa_specs(b, nh, n, hd, cap)
+    seed_spec, qkv_spec, out_spec, mask_spec, grid = _sa_specs(
+        b, nh, n, hd, cap, packed)
+    size = int(np.prod(oshape))
     if not backward:
         return pl.pallas_call(
             functools.partial(_sa_kernel, scale=scale, p_drop=p_drop),
             grid=grid,
-            in_specs=[seed_spec, qkv_spec, qkv_spec, qkv_spec, mask_spec],
-            out_specs=qkv_spec,
-            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            in_specs=[seed_spec, qkv_spec(0), qkv_spec(1), qkv_spec(2),
+                      mask_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(oshape, dtype),
             cost_estimate=pl.CostEstimate(
                 flops=2 * 2 * b * nh * n * n * hd,
-                bytes_accessed=4 * q.size * q.dtype.itemsize,
+                bytes_accessed=4 * size * dtype.itemsize,
                 transcendentals=b * nh * n * n),
             interpret=interpret,
-        )(seed, q, k, v, mask)
+        )(seed, *ins, mask)
     return pl.pallas_call(
         functools.partial(_sa_bwd_kernel, scale=scale, p_drop=p_drop),
         grid=grid,
-        in_specs=[seed_spec, qkv_spec, qkv_spec, qkv_spec, mask_spec,
-                  qkv_spec],
-        out_specs=(qkv_spec, qkv_spec, qkv_spec),
-        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),) * 3,
+        in_specs=[seed_spec, qkv_spec(0), qkv_spec(1), qkv_spec(2),
+                  mask_spec, out_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct(oshape, dtype),) * 3,
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * b * nh * n * n * hd,
-            bytes_accessed=8 * q.size * q.dtype.itemsize,
+            bytes_accessed=8 * size * dtype.itemsize,
             transcendentals=b * nh * n * n),
         interpret=interpret,
-    )(seed, q, k, v, mask, do)
+    )(seed, *ins, mask, do)
 
 
 def _sa_fwd(q, k, v, mask, seed, scale, p_drop, interpret):
-    out = _sa_call(q, k, v, mask, seed, scale, p_drop, interpret,
+    out = _sa_call((q, k, v), mask, seed, scale, p_drop, interpret,
                    backward=False)
     return out, (q, k, v, mask, seed)
 
 
 def _sa_bwd(scale, p_drop, interpret, res, do):
     q, k, v, mask, seed = res
-    dq, dk, dv = _sa_call(q, k, v, mask, seed, scale, p_drop, interpret,
+    dq, dk, dv = _sa_call((q, k, v), mask, seed, scale, p_drop, interpret,
                           backward=True, do=do)
     return dq, dk, dv, jnp.zeros_like(mask), jnp.zeros_like(seed)
 
 
 fused_self_attention.defvjp(_sa_fwd, _sa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def packed_self_attention(qkv: jax.Array, mask: jax.Array, seed: jax.Array,
+                          n_heads: int, scale: float, p_drop: float = 0.0,
+                          interpret: bool = False) -> jax.Array:
+    """:func:`fused_self_attention` over the packed (B, 3*nH, N, hd) qkv
+    tensor (one transpose of a single qkv GEMM, dim-1 ordered (3, nH)).
+    Returns (B, nH, N, hd)."""
+    return _psa_fwd(qkv, mask, seed, n_heads, scale, p_drop, interpret)[0]
+
+
+def _psa_fwd(qkv, mask, seed, n_heads, scale, p_drop, interpret):
+    out = _sa_call(qkv, mask, seed, scale, p_drop, interpret,
+                   backward=False, n_heads=n_heads)
+    return out, (qkv, mask, seed)
+
+
+def _psa_bwd(n_heads, scale, p_drop, interpret, res, do):
+    qkv, mask, seed = res
+    dq, dk, dv = _sa_call(qkv, mask, seed, scale, p_drop, interpret,
+                          backward=True, n_heads=n_heads, do=do)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=1)
+    return dqkv, jnp.zeros_like(mask), jnp.zeros_like(seed)
+
+
+packed_self_attention.defvjp(_psa_fwd, _psa_bwd)
 
 
 def window_attention_reference(q, k, v, bias, mask, n_windows, scale):
