@@ -352,6 +352,8 @@ def _packed_bwd(n_windows, n_heads, scale, interpret, res, do):
 packed_window_attention.defvjp(_packed_fwd, _packed_bwd)
 
 
+
+
 # ---------------------------------------------------------------------------
 # Fused self-attention for the BERT stacks (text/fusion encoders): per-ROW
 # additive masks (every sequence has its own padding/seq2seq mask, unlike
