@@ -83,10 +83,13 @@ def hog_image(img: jax.Array, *, cell: int = 8,
     g_col = g_col.at[..., :, 1:-1, :].set(x[..., :, 2:, :] - x[..., :, :-2, :])
 
     mag = jnp.hypot(g_row, g_col)                       # (..., H, W, C)
-    best = jnp.argmax(mag, axis=-1, keepdims=True)      # dominant channel
-    g_row = jnp.take_along_axis(g_row, best, axis=-1)[..., 0]
-    g_col = jnp.take_along_axis(g_col, best, axis=-1)[..., 0]
-    mag = jnp.take_along_axis(mag, best, axis=-1)[..., 0]
+    # dominant channel via one-hot select — per-pixel take_along_axis
+    # gathers cost ~200ms/step on TPU for the same result
+    best = jnp.argmax(mag, axis=-1)                     # (..., H, W)
+    sel = jax.nn.one_hot(best, img.shape[-1], dtype=jnp.float32)
+    g_row = jnp.sum(g_row * sel, axis=-1)
+    g_col = jnp.sum(g_col * sel, axis=-1)
+    mag = jnp.sum(mag * sel, axis=-1)
 
     # unsigned orientation in [0, pi): skimage uses atan2(g_row, g_col) % pi
     ang = jnp.arctan2(g_row, g_col) % jnp.pi
