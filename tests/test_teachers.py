@@ -241,3 +241,39 @@ def test_dpt_parity():
         {"params": p}, jnp.asarray(x)))(params))
     assert y.shape == y_ref.shape == (1, 224, 224)
     np.testing.assert_allclose(y, y_ref, atol=1e-2, rtol=1e-2)
+
+
+def test_separable_corr_lookup_matches_bilinear_oracle():
+    """The separable tent-weight corr-pyramid lookup must equal the direct
+    per-point bilinear gather (the torch-equivalent oracle) at fractional,
+    integer, and out-of-range coordinates."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from empirical_mvm_tpu.teachers.raft import (bilinear_sample,
+                                                 build_corr_pyramid,
+                                                 index_corr_pyramid)
+
+    rs = np.random.RandomState(0)
+    b, h, w, c = 2, 16, 16, 8
+    f1 = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+    pyramid = build_corr_pyramid(f1, f2, num_levels=3)
+
+    coords = rs.rand(b, h, w, 2).astype(np.float32) * (w + 4) - 2  # incl. OOB
+    coords[0, 0, 0] = [3.0, 5.0]                                   # integer
+    coords = jnp.asarray(coords)
+    out = index_corr_pyramid(pyramid, coords, radius=2)
+
+    side = 5
+    offs = np.arange(-2, 3, dtype=np.float32)
+    d = np.stack(np.meshgrid(offs, offs, indexing="ij"), -1)  # (S,S,2) di,dj
+    delta = jnp.asarray(d.reshape(1, side * side, 2))
+    cen = coords.reshape(b * h * w, 1, 2)
+    refs = []
+    for vol in pyramid:
+        refs.append(bilinear_sample(vol, cen + delta)[..., 0])
+        cen = cen / 2
+    ref = jnp.concatenate(refs, axis=-1).reshape(b, h, w, -1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
