@@ -16,14 +16,15 @@ documented analytic estimate of the reference's per-A100 throughput,
 REFERENCE_CLIPS_PER_SEC_PER_GPU below, so the ratio is comparable across
 rounds; the absolute clips/s/chip value is the real measurement.
 
-Measured context (round 1, TPU v5e): XLA cost analysis puts this step at
-~1100 GFLOP/clip after the VTM positive-pair reuse (the MTM pass CLS scores
-the positive; fusion runs only on the 3 negative pairs — the reference
-recomputes the positive, main_pretrain.py:243-260). Bench history:
-39.13 clips/s (4-pair VTM) -> 42.99 clips/s (3-pair VTM), ~51% MFU of v5e's
-~98 bf16 TFLOP/s with HBM traffic near peak — the step is at the roofline,
-so remaining headroom is structural (fewer objective passes), not
-kernel-level.
+Measured context (round 2, TPU v5e): ~1100 GFLOP/clip after the VTM
+positive-pair reuse (the MTM pass CLS scores the positive; the reference
+recomputes it, main_pretrain.py:243-260), MTM+negatives merged into one
+fusion-stack call. History: 39.1 (round 1) -> 42.99 (VTM reuse) -> 48.25
+(packed-qkv window attention) -> 52.4 (fused BERT attention w/ in-kernel
+dropout) -> 54.2 (merged fusion pass) clips/s/chip. The chip's measured
+GEMM ceiling is 138 bf16 TFLOP/s (host-readback-timed 8192^3), so this is
+~42% MFU; see BENCH_LOCAL_r2.txt for the profile breakdown and the
+measured negative results.
 """
 
 import json
@@ -93,9 +94,11 @@ def main():
     batch_size = None
     step = state = batch = None
     for bs in (16, 8, 4):
-        # two attempts per size: the tunnel's remote-compile service
-        # occasionally drops the connection mid-result
-        for attempt in range(2):
+        # several attempts per size: the tunnel's remote-compile service
+        # occasionally drops the connection mid-result, and the TPU backend
+        # sporadically returns FAILED_PRECONDITION for a minute or two after
+        # heavy use (observed round 2) — both recover on retry
+        for attempt in range(4):
             try:
                 step, state, batch = build(bs)
                 rng = jax.random.PRNGKey(1)
@@ -110,8 +113,11 @@ def main():
                       f"{type(e).__name__}: {msg[:400]}", file=sys.stderr)
                 if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
                     break                              # try a smaller batch
-                if attempt == 0:
-                    continue                           # transient: retry once
+                if "FAILED_PRECONDITION" in msg or "backend error" in msg:
+                    time.sleep(45)                     # transient backend blip
+                    continue
+                if attempt < 2:
+                    continue                           # transient: retry
                 # repeated remote-compile failure usually means the compiler
                 # itself ran out of memory at this batch size — fall through
                 # to the next size instead of dying
