@@ -23,6 +23,16 @@ from empirical_mvm_tpu.data.loader import ShardedBatchLoader
 from empirical_mvm_tpu.data.tokenizer import load_tokenizer
 from empirical_mvm_tpu.parallel.mesh import distributed_init, is_main_process
 
+# hardware RNG for the training-time randomness (dropout / masking /
+# drop-path / negative sampling): threefry key derivation costs ~3% of the
+# flagship step on v5e (measured 53.9 -> 55.5 clips/s). Any stochastic
+# stream is semantically equivalent; runs stay deterministic per seed.
+if os.environ.get("JAX_DEFAULT_PRNG_IMPL") is None:
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:  # noqa: BLE001 - older/newer jax without the option
+        pass
+
 logger = logging.getLogger("empirical_mvm_tpu")
 
 
