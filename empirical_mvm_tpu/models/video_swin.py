@@ -95,6 +95,62 @@ def _relative_position_index(window_size: tuple[int, int, int]) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _axis_onehots(window_size: tuple[int, int, int],
+                  eff: tuple[int, int, int]) -> tuple[np.ndarray, ...]:
+    """Per-axis one-hot factors of the relative-position index: the 3D index
+    is rd*stride_d + rh*stride_h + rw with r_ax = n_ax - m_ax + (w_ax - 1),
+    so the scatter-add of the bias-table gradient factorizes into three tiny
+    dense contractions (see rel_pos_bias)."""
+    outs = []
+    for w_full, w_eff in zip(window_size, eff):
+        r = 2 * w_full - 1
+        a = np.zeros((w_eff, w_eff, r), np.float32)
+        for i in range(w_eff):
+            for j in range(w_eff):
+                a[i, j, i - j + w_full - 1] = 1.0
+        outs.append(a)
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def rel_pos_bias(table: jax.Array, window_size: tuple[int, int, int],
+                 eff: tuple[int, int, int]) -> jax.Array:
+    """table (R, nH) -> (nH, N, N) fp32 bias for the effective window.
+
+    Forward is the reference's gather + slice (visbackbone/video_swin.py:155;
+    clamping only ever shrinks LEADING window dims, so the [:n] slice is the
+    restriction to the effective leading extent). The custom backward
+    replaces XLA's scatter-add (~5ms/step across the swin stages) with three
+    per-axis one-hot contractions — the relative index is separable.
+    """
+    n = int(np.prod(eff))
+    rel_index = _relative_position_index(tuple(window_size))[:n, :n]
+    bias = table[rel_index.reshape(-1)].reshape(n, n, -1)
+    return bias.transpose(2, 0, 1).astype(jnp.float32)
+
+
+def _rpb_fwd(table, window_size, eff):
+    return rel_pos_bias(table, window_size, eff), None
+
+
+def _rpb_bwd(window_size, eff, _res, dbias):
+    wd, wh, ww = eff
+    fd, fh, fw = window_size
+    nh = dbias.shape[0]
+    ad, ah, aw = (jnp.asarray(a) for a in _axis_onehots(tuple(window_size),
+                                                        tuple(eff)))
+    d = dbias.transpose(1, 2, 0).reshape(wd, wh, ww, wd, wh, ww, nh)
+    t = jnp.einsum("abcdefh,adr->rbcefh", d, ad)
+    t = jnp.einsum("rbcefh,bes->rscfh", t, ah)
+    t = jnp.einsum("rscfh,cfu->rsuh", t, aw)
+    dtable = t.reshape((2 * fd - 1) * (2 * fh - 1) * (2 * fw - 1), nh)
+    return (dtable,)
+
+
+rel_pos_bias.defvjp(_rpb_fwd, _rpb_bwd)
+
+
+@functools.lru_cache(maxsize=None)
 def _shift_attn_mask(dims: tuple[int, int, int],
                      window_size: tuple[int, int, int],
                      shift_size: tuple[int, int, int]) -> np.ndarray:
@@ -198,14 +254,24 @@ class WindowAttention3D(nn.Module):
             ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1)
              * (2 * self.window_size[2] - 1), self.num_heads),
         )
-        rel_index = _relative_position_index(tuple(self.window_size))[:n, :n]
-
         # position-wise: applies equally to (B_, N, C) and (B, Dp, Hp, Wp, C)
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
 
-        bias = table[rel_index.reshape(-1)].reshape(n, n, -1)   # (N, N, nH)
-        bias = bias.transpose(2, 0, 1).astype(jnp.float32)      # (nH, N, N)
+        # bias (nH, N, N): the custom-VJP path replaces the table-grad
+        # scatter-add with separable per-axis contractions. It requires the
+        # [:n] slice to be a clean leading-axis restriction — true whenever
+        # only leading window dims clamp (T in practice); otherwise fall
+        # back to the gather + autodiff scatter.
+        if (five_d and window_eff[1] == self.window_size[1]
+                and window_eff[2] == self.window_size[2]):
+            bias = rel_pos_bias(table, tuple(self.window_size),
+                                tuple(window_eff))
+        else:
+            rel_index = _relative_position_index(
+                tuple(self.window_size))[:n, :n]
+            bias = table[rel_index.reshape(-1)].reshape(n, n, -1)
+            bias = bias.transpose(2, 0, 1).astype(jnp.float32)  # (nH, N, N)
 
         if use_fused:
             # fused Pallas path: ONE transpose into (B_, 3nH, N, hd) — on

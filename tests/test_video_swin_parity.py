@@ -200,3 +200,36 @@ def test_swin_stage_scan_equivalence():
     assert "pairs" in p2["layers_1"]
     q = p2["layers_1"]["pairs"]["blk0"]["attn"]["qkv"]["kernel"]
     assert q.shape[0] == 2  # 4 blocks -> 2 scan steps
+
+
+def test_rel_pos_bias_grad_matches_scatter():
+    """The separable table-grad (custom VJP) must equal autodiff of the
+    gather (scatter-add), including clamped leading window dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from empirical_mvm_tpu.models.video_swin import (
+        _relative_position_index, rel_pos_bias)
+
+    rs = np.random.RandomState(0)
+    for full, eff in [((8, 7, 7), (4, 7, 7)), ((2, 7, 7), (2, 7, 7)),
+                      ((8, 7, 7), (1, 7, 7))]:
+        r = (2 * full[0] - 1) * (2 * full[1] - 1) * (2 * full[2] - 1)
+        nh = 3
+        table = jnp.asarray(rs.randn(r, nh).astype(np.float32))
+        n = int(np.prod(eff))
+        tgt = jnp.asarray(rs.randn(nh, n, n).astype(np.float32))
+
+        def loss_custom(t):
+            return jnp.sum(rel_pos_bias(t, full, eff) * tgt)
+
+        def loss_ref(t):
+            idx = _relative_position_index(full)[:n, :n]
+            b = t[idx.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
+            return jnp.sum(b.astype(jnp.float32) * tgt)
+
+        g_c = jax.grad(loss_custom)(table)
+        g_r = jax.grad(loss_ref)(table)
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_r),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"{full} {eff}")
