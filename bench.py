@@ -43,8 +43,10 @@ except Exception:
     pass
 try:
     # hardware RNG for dropout/masking keys: threefry derivation costs ~3%
-    # of the step (53.9 -> 55.5 clips/s measured round 2)
-    jax.config.update("jax_default_prng_impl", "rbg")
+    # of the step (53.9 -> 55.5 clips/s measured round 2); the env var wins
+    # for experiments
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("JAX_DEFAULT_PRNG_IMPL", "rbg"))
 except Exception:
     pass
 
