@@ -115,3 +115,33 @@ def test_scanned_encoder_matches_unrolled(hf_model_and_cfg):
     stacked = stack_encoder_params(params, cfg.num_hidden_layers)
     out, _ = BertEncoderScanned(cfg).apply({"params": stacked}, x, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_scanned_encoder_fused_kernel_matches_unrolled(hf_model_and_cfg,
+                                                       monkeypatch):
+    """BertEncoderScanned with the fused self-attention kernel (interpret
+    mode) == the unrolled XLA path — covers the nn.scan + pallas_call +
+    single-GEMM-qkv combination the TPU pretrain CLI runs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from empirical_mvm_tpu.models.bert import (BertEncoderScanned,
+                                               stack_encoder_params)
+    monkeypatch.setenv("EMVM_PALLAS_INTERPRET", "1")
+    hf, sd, cfg = hf_model_and_cfg
+    params = bert_encoder_params_from_torch(sd, "bert.encoder.",
+                                            cfg.num_hidden_layers)
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, 10, cfg.hidden_size).astype(np.float32)
+    mask = np.ones((2, 10), np.int64)
+    mask[1, 7:] = 0
+    bias = jbert.extended_attention_mask(mask)
+    ref, _ = jbert.BertEncoder(cfg).apply({"params": params}, x, bias)
+    stacked = stack_encoder_params(params, cfg.num_hidden_layers)
+    fused_cfg = dataclasses.replace(cfg, use_pallas_attention=True,
+                                    scan=True)
+    out, _ = BertEncoderScanned(fused_cfg).apply({"params": stacked}, x,
+                                                 bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)
