@@ -136,6 +136,9 @@ class ModelConfig:
     task_token: str = ""                # vtm | mc | oe | cap (ref: args.py:132)
     enable_prompt: bool = False         # encoded text-prompt prefix (ref: args.py:134)
     num_task_tokens: int = 10           # emb_task rows (ref: main_qaoe_lsmdc_fib.py:67)
+    r50_train_bn: bool = False          # torch train-mode BN in the R50/merlot
+                                        # trunk during training (ref
+                                        # resnet50.py:18-21; see BatchNorm2d)
     # MVM teacher weights (ref: main_pretrain.py:184-199). Torch .pt
     # state_dicts are converted on load; msgpack trees load directly.
     vq_on_the_fly: bool = False         # dVAE in the train step vs pre-extracted

@@ -482,6 +482,10 @@ class PretrainTsvDataset(DatasetBase):
             raw_txt = raw[0] if isinstance(raw, list) else raw
         else:
             corrupt = True
+        if self.vq is not None and vid not in self.vq:
+            # the reference marks a row corrupt when its vid is absent from
+            # the pre-extracted vq table (ref: main_pretrain.py:88-93)
+            corrupt = True
         t = img.shape[0]
         h = w = self.size_img // self.cfg.model.size_patch
         lv = t * (1 + h * w)

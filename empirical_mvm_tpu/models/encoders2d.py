@@ -15,9 +15,12 @@ Design notes (TPU-native, documented deviations):
   and ``window_size=(1,7,7)`` — mathematically a per-frame 2D Swin (temporal
   kernel/stride/window of 1); HF microsoft/swin-* weights import via
   :func:`swin2d_params_from_hf` (parity-tested in tests/test_encoders2d.py);
-* ResNet BatchNorm runs with frozen statistics (the reference freezes the
-  stem+layer1 when pretrained, resnet50.py:18-21; full frozen-stats BN is
-  the standard serving-mode choice on TPU).
+* ResNet BatchNorm defaults to frozen statistics (standard serving-mode
+  choice on TPU); ``ModelConfig.r50_train_bn`` enables torch train-mode BN
+  (batch statistics) for fine-tune parity with the reference, whose R50 BNs
+  run in train() mode while stem+layer1 PARAMS are frozen when pretrained
+  (ref resnet50.py:18-21) — see :class:`BatchNorm2d` for the one documented
+  deviation (running stats are not momentum-updated).
 """
 
 from __future__ import annotations
@@ -26,10 +29,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from empirical_mvm_tpu.ops.layernorm import FusedLayerNorm
 from empirical_mvm_tpu.core.config import ModelConfig, SwinConfig
 from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
 from empirical_mvm_tpu.teachers.dpt import ViTBlock
-from empirical_mvm_tpu.teachers.raft import FrozenBatchNorm
 
 
 SWIN2D_SIZES = {
@@ -71,7 +74,7 @@ class _PosEmbeds(nn.Module):
                                   (1, self.max_size_frame, 1, d))
         if self.with_odr:
             self.emb_odr = self.param("emb_odr", init, (1, 1, 1, d))
-        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
+        self.norm = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
 
     def __call__(self, f, add_len: bool = True, apply_norm: bool = True):
         """f: (B, T, hw, D) -> tokens (B, T, 1+hw, D)."""
@@ -127,6 +130,43 @@ class EncImgSwin(nn.Module):
         return f.reshape(b, t * (1 + h * w), d), m
 
 
+class BatchNorm2d(nn.Module):
+    """torch BatchNorm2d with a train/eval switch (VERDICT r2 item 8).
+
+    Param layout matches :class:`FrozenBatchNorm` (scale/bias/mean/var all in
+    ``params``) so the torchvision importer and existing checkpoints are
+    shared. ``use_batch_stats=False`` is bit-identical to FrozenBatchNorm
+    (eval mode / frozen trunk). ``use_batch_stats=True`` reproduces torch
+    train-mode normalization — per-channel batch mean and BIASED variance —
+    which is what the reference's R50 runs during fine-tuning (its BN modules
+    stay in train() mode even where stem+layer1 params are frozen,
+    ref: visbackbone/resnet50.py:18-21; param freezing maps to optimizer
+    freeze groups here).
+
+    Documented deviation: running statistics are NOT momentum-updated during
+    training (they keep their imported values for later eval). Train-mode
+    outputs and gradients are identical to torch — running stats don't enter
+    the train-mode math — only post-finetune eval sees imported rather than
+    drifted stats."""
+
+    features: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_batch_stats: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        xf = x.astype(jnp.float32)
+        if use_batch_stats:
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.var(xf, axis=(0, 1, 2))      # biased, like torch train
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return (xf - mean) * inv + bias
+
+
 class BottleneckBlock(nn.Module):
     """torchvision ResNet bottleneck (1x1 -> 3x3 -> 1x1, expansion 4)."""
 
@@ -136,37 +176,41 @@ class BottleneckBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_batch_stats: bool = False):
         f = self.features
         y = nn.Conv(f, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        y = FrozenBatchNorm(f, name="bn1")(y)
+        y = BatchNorm2d(f, name="bn1")(y, use_batch_stats)
         y = nn.relu(y)
         y = nn.Conv(f, (3, 3), strides=(self.stride, self.stride), padding=1,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = FrozenBatchNorm(f, name="bn2")(y)
+        y = BatchNorm2d(f, name="bn2")(y, use_batch_stats)
         y = nn.relu(y)
         y = nn.Conv(4 * f, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
-        y = FrozenBatchNorm(4 * f, name="bn3")(y)
+        y = BatchNorm2d(4 * f, name="bn3")(y, use_batch_stats)
         if self.project:
             x = nn.Conv(4 * f, (1, 1), strides=(self.stride, self.stride),
                         use_bias=False, dtype=self.dtype, name="down_conv")(x)
-            x = FrozenBatchNorm(4 * f, name="down_bn")(x)
+            x = BatchNorm2d(4 * f, name="down_bn")(x, use_batch_stats)
         return nn.relu(x + y)
 
 
 class ResNet50(nn.Module):
     """torchvision resnet50 trunk without avgpool/fc
-    (ref: visbackbone/resnet50.py:17-24 takes children()[:-2])."""
+    (ref: visbackbone/resnet50.py:17-24 takes children()[:-2]).
+
+    ``use_batch_stats=True`` runs every BN in torch train mode (see
+    BatchNorm2d); the reference's stem+layer1 param freeze is an optimizer
+    concern (freeze_prefixes), not a BN-mode one."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_batch_stats: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = BatchNorm2d(64, name="bn1")(x, use_batch_stats)
         x = nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
@@ -176,7 +220,7 @@ class ResNet50(nn.Module):
             for bi in range(n):
                 x = BottleneckBlock(f, stride=(s if bi == 0 else 1),
                                     project=(bi == 0), dtype=self.dtype,
-                                    name=f"layer{li}_{bi}")(x)
+                                    name=f"layer{li}_{bi}")(x, use_batch_stats)
         return x                                           # (B, H/32, W/32, 2048)
 
 
@@ -186,6 +230,7 @@ class EncImgR50(nn.Module):
 
     config: ModelConfig
     fusion: str = "concat"
+    train_bn: bool = False     # torch train-mode BN during training
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -201,7 +246,8 @@ class EncImgR50(nn.Module):
                  deterministic: bool = True):
         b, t, hh, ww, _ = img.shape
         h, w = hh // 32, ww // 32
-        f = self.res(img.reshape(b * t, hh, ww, 3))
+        f = self.res(img.reshape(b * t, hh, ww, 3),
+                     use_batch_stats=self.train_bn and not deterministic)
         f = nn.relu(self.proj(f))
         f = f.reshape(b, t, h * w, -1)
         if self.fusion == "mean":
@@ -220,6 +266,7 @@ class EncImgMerlot(nn.Module):
 
     config: ModelConfig
     vit_depth: int = 12
+    train_bn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -240,7 +287,8 @@ class EncImgMerlot(nn.Module):
                  deterministic: bool = True):
         b, t, hh, ww, _ = img.shape
         h, w = hh // 32, ww // 32
-        f = self.res(img.reshape(b * t, hh, ww, 3))
+        f = self.res(img.reshape(b * t, hh, ww, 3),
+                     use_batch_stats=self.train_bn and not deterministic)
         f = nn.relu(self.proj(f)).reshape(b, t, h * w, -1)
         f = self.embeds(f, add_len=False)                  # cls+pos, norm
         d = f.shape[-1]

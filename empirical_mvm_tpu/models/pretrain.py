@@ -298,13 +298,23 @@ class VioletPretrain(VioletBase):
                 ls["mvm_pixel"] = masked_l1(pred, img, mb.mvm_mask,
                                             channel_div=3.0)
             if "hog" in self.mvm_target:
+                hog_mask = mb.mvm_mask[..., 0]
                 if hog is None:
                     # on-device HOG teacher over the UNMASKED normalized clip
-                    # (ref computes it in loader workers, dataset.py:197-206)
+                    # (ref computes it in loader workers, dataset.py:197-206).
+                    # The reference computes HOG BEFORE its corrupt zeroing,
+                    # so corrupt rows there train against real-frame HOG from
+                    # a zeroed clip — a mismatch either way. We exclude
+                    # corrupt rows from the HOG loss instead (documented
+                    # deviation; round-2 advisor finding).
                     from empirical_mvm_tpu.ops.hog import hog_image
                     hog = jax.lax.stop_gradient(hog_image(img))
+                    if corrupt is not None:
+                        hog_mask = jnp.where(
+                            corrupt[:, None, None, None],
+                            jnp.zeros((), hog_mask.dtype), hog_mask)
                 pred = self.decode_hog(grid)
-                ls["mvm_hog"] = masked_l1(pred, hog, mb.mvm_mask[..., 0])
+                ls["mvm_hog"] = masked_l1(pred, hog, hog_mask)
             if "vq" in self.mvm_target and self.vq_on_the_fly:
                 # dVAE teacher forward in no-grad (ref: main_pretrain.py:480-496)
                 from empirical_mvm_tpu.teachers.dvae import (map_pixels,

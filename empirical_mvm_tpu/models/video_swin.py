@@ -37,6 +37,7 @@ import numpy as np
 from flax import linen as nn
 
 from empirical_mvm_tpu.core.config import SwinConfig
+from empirical_mvm_tpu.ops.layernorm import FusedLayerNorm
 from empirical_mvm_tpu.ops.patch_embed import patch_embed_3d
 
 
@@ -220,11 +221,10 @@ class WindowAttention3D(nn.Module):
                  window_eff: tuple[int, int, int] | None = None):
         """``x`` is either pre-windowed (B_, N, C) or the padded/rolled 5D
         feature map (B, Dp, Hp, Wp, C) with ``window_eff`` (the clamped
-        window). The 5D form lets the position-wise qkv GEMM run BEFORE
-        window partitioning, so partition+head-pack collapse into ONE
-        transpose each way (the qkv projection commutes with windowing, and
-        qkv(0)=bias on padded positions exactly matches the reference's
-        pad-then-project order, visbackbone/video_swin.py:213-229)."""
+        window). The 5D form partitions into windows FIRST, then runs the
+        position-wise qkv GEMM on the (B_, N, C) windows — a qkv-first 9D
+        mega-transpose variant was measured slower (52.2 -> 49.2 clips/s,
+        round 2) and reverted; see the inline comment below."""
         import os as _os
         on_tpu = jax.default_backend() == "tpu"
         pallas_ok = on_tpu or bool(_os.environ.get("EMVM_PALLAS_INTERPRET"))
@@ -359,7 +359,7 @@ class SwinTransformerBlock3D(nn.Module):
             (d, h, w), self.window_size, self.shift_size)
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         # pad to window multiples (ref: visbackbone/video_swin.py:213-218)
         pad_d = (window_size[0] - d % window_size[0]) % window_size[0]
@@ -397,7 +397,7 @@ class SwinTransformerBlock3D(nn.Module):
                   if (not deterministic and has_dp) else None)
         x = shortcut + drop_path(x, drop_path_rate, deterministic, dp_rng)
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
                 out_features=self.dim, dropout_rate=self.drop,
                 dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
@@ -422,7 +422,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, :, 0::2, 1::2, :]
         x3 = x[:, :, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                      name="reduction")(x)
         return x
@@ -584,7 +584,7 @@ class SwinTransformer3D(nn.Module):
             dtype=self.dtype,
         )
         if cfg.patch_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_embed_norm")(x)
+            x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_embed_norm")(x)
         x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
         dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
@@ -610,5 +610,5 @@ class SwinTransformer3D(nn.Module):
             )(x, deterministic=deterministic)
 
         if cfg.final_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+            x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x

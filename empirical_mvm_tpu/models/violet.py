@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from empirical_mvm_tpu.ops.layernorm import FusedLayerNorm
 from empirical_mvm_tpu.core.config import ModelConfig
 from empirical_mvm_tpu.models.bert import (
     BertEmbeddings, BertEncoder, BertMLMHead, extended_attention_mask)
@@ -66,7 +67,7 @@ class EncVideo(nn.Module):
                                   (1, 1, 1 + cfg.max_size_patch ** 2, d))
         self.emb_len = self.param("emb_len", init, (1, cfg.max_size_frame, 1, d))
         self.emb_odr = self.param("emb_odr", init, (1, 1, 1, d))
-        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
+        self.norm = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
 
     def __call__(self, img, odr: Optional[jax.Array] = None,
                  vt_mask: Optional[jax.Array] = None,
@@ -197,12 +198,14 @@ class VioletBase(nn.Module):
         elif vb == "r50":
             from empirical_mvm_tpu.models.encoders2d import EncImgR50
             self.enc_img = EncImgR50(self.config, fusion=tf,
+                                     train_bn=self.config.r50_train_bn,
                                      dtype=self.dtype, name="enc_img")
         elif vb == "merlot":
             from empirical_mvm_tpu.models.encoders2d import EncImgMerlot
             assert tf == "concat"
-            self.enc_img = EncImgMerlot(self.config, dtype=self.dtype,
-                                        name="enc_img")
+            self.enc_img = EncImgMerlot(self.config,
+                                        train_bn=self.config.r50_train_bn,
+                                        dtype=self.dtype, name="enc_img")
         else:
             raise ValueError(f"unknown vis_backbone {vb}")
         self.enc_txt = EncTxt(self.config, dtype=self.dtype, name="enc_txt")

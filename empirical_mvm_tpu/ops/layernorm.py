@@ -1,0 +1,208 @@
+"""Fused LayerNorm Pallas kernel (forward + custom-VJP backward).
+
+XLA lowers LayerNorm to separate reduce + broadcast-elementwise fusions that
+re-read the activation from HBM several times per pass; at the flagship
+pretrain shapes those reduce-fusions cost ~24 ms/step (round-2 profile,
+BENCH_LOCAL_r2.txt). This kernel does one HBM read and one write per pass:
+
+  forward:  grid over row blocks (Rb, C); per-row mean/var in fp32, then
+            y = (x - mean) * rsqrt(var + eps) * gamma + beta, cast to the
+            input dtype. C is always a lane-aligned multiple of 128 here
+            (swin 128/256/512/1024, BERT 768).
+  backward: recompute mean/var from the x block already in VMEM (cheaper
+            than storing per-row stats), then
+              dxhat  = dy * gamma
+              dx     = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat*xhat))
+            dgamma/dbeta accumulate across the sequential grid into one
+            (1, C) block (same pattern as the attention kernel's dbias).
+
+Numerics: all normalization arithmetic runs fp32 regardless of input dtype
+(slightly MORE accurate than flax's nn.LayerNorm with dtype=bf16, which
+computes stats in fp32 but normalizes in bf16). Parity vs the XLA oracle is
+tested in tests/test_layernorm_kernel.py.
+
+The reference delegates LayerNorm to torch.nn.LayerNorm everywhere
+(e.g. visbackbone/video_swin.py norm1/norm2, HF BERT LayerNorm); this is
+the TPU-native equivalent of those cuDNN/ATen kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per program: (Rb, C) fp32 temporaries must fit VMEM alongside x/dy/dx
+# blocks and double-buffering. 256 rows x 1024 lanes x 4B = 1MB per fp32
+# temporary — comfortable on v5e (~16MB/core).
+_ROW_BLOCK = 256
+
+
+def _ln_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)              # (Rb, C)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = xc * rstd * g_ref[...].astype(jnp.float32) + b_ref[...].astype(
+        jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _ln_bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps):
+    r = pl.program_id(0)
+    x = x_ref[...].astype(jnp.float32)              # (Rb, C)
+    dy = dy_ref[...].astype(jnp.float32)
+    c = x.shape[-1]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+
+    dxhat = dy * g_ref[...].astype(jnp.float32)
+    m1 = jnp.sum(dxhat, axis=-1, keepdims=True) / c
+    m2 = jnp.sum(dxhat * xhat, axis=-1, keepdims=True) / c
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(r == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dg_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _row_block(rows: int) -> int:
+    """Largest multiple-of-8 divisor of ``rows`` up to _ROW_BLOCK — Mosaic
+    requires the sublane block dim be 8-divisible or the whole array."""
+    if rows % 8 or rows <= _ROW_BLOCK:
+        return rows                       # whole-array fallback
+    rb = _ROW_BLOCK - _ROW_BLOCK % 8
+    while rows % rb:
+        rb -= 8
+    return rb
+
+
+def _ln_fwd_call(x2, gamma, beta, eps, interpret):
+    rows, c = x2.shape
+    rb = _row_block(rows)
+    x_spec = pl.BlockSpec((rb, c), lambda r: (r, 0), memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((1, c), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_fwd_kernel, eps=eps),
+        grid=(rows // rb,),
+        in_specs=[x_spec, p_spec, p_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * c,
+            bytes_accessed=2 * rows * c * x2.dtype.itemsize,
+            transcendentals=rows),
+        interpret=interpret,
+    )(x2, gamma.reshape(1, c), beta.reshape(1, c))
+
+
+def _ln_bwd_call(x2, gamma, dy2, eps, interpret):
+    rows, c = x2.shape
+    rb = _row_block(rows)
+    x_spec = pl.BlockSpec((rb, c), lambda r: (r, 0), memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((1, c), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    dx, dg, db = pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, eps=eps),
+        grid=(rows // rb,),
+        in_specs=[x_spec, p_spec, x_spec],
+        out_specs=(x_spec, p_spec, p_spec),
+        out_shape=(jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * rows * c,
+            bytes_accessed=3 * rows * c * x2.dtype.itemsize,
+            transcendentals=rows),
+        interpret=interpret,
+    )(x2, gamma.reshape(1, c), dy2)
+    return dx, dg.reshape(c), db.reshape(c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                     eps: float = 1e-5, interpret: bool = False) -> jax.Array:
+    """LayerNorm over the last axis, fused. x: (..., C); gamma/beta: (C,).
+
+    Returns x.dtype. C must be a multiple of 128 (lane-aligned); callers
+    fall back to nn.LayerNorm otherwise.
+    """
+    shape = x.shape
+    out = _ln_fwd_call(x.reshape(-1, shape[-1]), gamma, beta, eps, interpret)
+    return out.reshape(shape)
+
+
+def _fln_fwd(x, gamma, beta, eps, interpret):
+    return fused_layer_norm(x, gamma, beta, eps, interpret), (x, gamma)
+
+
+def _fln_bwd(eps, interpret, res, dy):
+    x, gamma = res
+    shape = x.shape
+    dx, dg, db = _ln_bwd_call(x.reshape(-1, shape[-1]), gamma,
+                              dy.reshape(-1, shape[-1]), eps, interpret)
+    return (dx.reshape(shape), dg.astype(gamma.dtype),
+            db.astype(gamma.dtype))
+
+
+fused_layer_norm.defvjp(_fln_fwd, _fln_bwd)
+
+
+def layer_norm_reference(x, gamma, beta, eps):
+    """Pure-XLA fp32 oracle matching the kernel's numerics."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32) \
+        + beta.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# flax drop-in: same param tree as nn.LayerNorm ("scale"/"bias"), kernel on
+# TPU (or interpreter under EMVM_PALLAS_INTERPRET), fp32 XLA oracle
+# elsewhere. EMVM_NO_PALLAS_LN forces the oracle everywhere (A/B tuning).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from flax import linen as nn  # noqa: E402
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm(epsilon=..., dtype=...)`` on the hot path.
+
+    Checkpoint-compatible: params are ``scale``/``bias`` of shape (C,), the
+    exact tree nn.LayerNorm produces. Normalization arithmetic always runs
+    fp32 (kernel and fallback alike), so numerics are backend-independent.
+    """
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        on_tpu = jax.default_backend() == "tpu"
+        interp = bool(_os.environ.get("EMVM_PALLAS_INTERPRET"))
+        if (c % 128 == 0 and (on_tpu or interp)
+                and not _os.environ.get("EMVM_NO_PALLAS_LN")):
+            return fused_layer_norm(x, scale, bias, float(self.epsilon),
+                                    not on_tpu)
+        return layer_norm_reference(x, scale, bias, float(self.epsilon))

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from empirical_mvm_tpu.ops.layernorm import FusedLayerNorm
+
 
 class ViTBlock(nn.Module):
     """timm vision_transformer Block (norm1 -> MHA -> res, norm2 -> MLP -> res)."""
@@ -39,7 +41,7 @@ class ViTBlock(nn.Module):
     def __call__(self, x):
         b, l, d = x.shape
         hd = self.dim // self.num_heads
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(y)
         qkv = qkv.reshape(b, l, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -50,7 +52,7 @@ class ViTBlock(nn.Module):
                          preferred_element_type=jnp.float32).astype(self.dtype)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="proj")(ctx)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="fc1")(y)
         y = nn.gelu(y, approximate=False)

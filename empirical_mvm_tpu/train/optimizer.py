@@ -25,18 +25,27 @@ import jax
 import optax
 
 
+def warmup_linear_factor(max_iter: int, warmup_ratio: float = 0.1):
+    """The un-floored warmup/decay factor in [0, 1] (ref: agent.py:13-32)."""
+    warmup = int(warmup_ratio * max_iter)
+
+    def factor(step):
+        step = jax.numpy.minimum(step, max_iter)
+        warm = jax.numpy.maximum(0.0, step / max(warmup, 1))
+        decay = jax.numpy.maximum(0.0, (max_iter - step) / max(max_iter - warmup, 1))
+        return jax.numpy.where(step < warmup, warm, decay)
+
+    return factor
+
+
 def warmup_linear_schedule(base_lr: float, max_iter: int,
                            warmup_ratio: float = 0.1,
                            min_lr: float = 1e-8) -> optax.Schedule:
     """(ref: agent.py:13-32)"""
-    warmup = int(warmup_ratio * max_iter)
+    factor = warmup_linear_factor(max_iter, warmup_ratio)
 
     def schedule(step):
-        step = jax.numpy.minimum(step, max_iter)
-        warm = jax.numpy.maximum(0.0, step / max(warmup, 1))
-        decay = jax.numpy.maximum(0.0, (max_iter - step) / max(max_iter - warmup, 1))
-        factor = jax.numpy.where(step < warmup, warm, decay)
-        return jax.numpy.maximum(min_lr, base_lr * factor)
+        return jax.numpy.maximum(min_lr, base_lr * factor(step))
 
     return schedule
 
@@ -171,7 +180,7 @@ def build_flat_optimizer(
     lr_mul_vec = mul_table[gid]       # (P,) f32: 0 for frozen
     wd_vec = wd_table[gid]
 
-    schedule = warmup_linear_schedule(lr, max_iter, warmup_ratio, min_lr)
+    factor_fn = warmup_linear_factor(max_iter, warmup_ratio)
     b1, b2 = betas
     eps = 1e-8
 
@@ -196,7 +205,13 @@ def build_flat_optimizer(
         c = count.astype(jnp.float32)
         mu_hat = mu / (1 - b1 ** c)
         nu_hat = nu / (1 - b2 ** c)
-        step_lr = schedule(count - 1) * state["lr_mul"]
+        # floor AFTER the backbone multiplier — matching build_optimizer,
+        # whose per-group schedules floor max(min_lr, lr*mul*factor); frozen
+        # params (mul 0) stay exactly 0, matching optax.set_to_zero
+        lr_mul = state["lr_mul"]
+        step_lr = jnp.where(
+            lr_mul > 0,
+            jnp.maximum(min_lr, lr * lr_mul * factor_fn(count - 1)), 0.0)
         pflat, _ = ravel_pytree(params)
         upd = -step_lr * (mu_hat / (jnp.sqrt(nu_hat) + eps)
                           + state["wd"] * pflat.astype(jnp.float32))

@@ -21,7 +21,10 @@ import pytest
 # The axon sitecustomize force-registers the TPU backend at interpreter
 # startup (JAX_PLATFORMS=axon in the ambient env), so env vars alone don't
 # stick — use the config API to pin tests to the virtual 8-device CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+# EMVM_TPU_TESTS=1 keeps the real TPU backend instead, for the `-m tpu`
+# on-chip kernel suite (run it ALONE: `EMVM_TPU_TESTS=1 pytest -m tpu`).
+if not os.environ.get("EMVM_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 # XLA CPU compiles are slow (the full train step takes minutes); persist
 # compiled programs so repeat test runs are fast.

@@ -201,3 +201,39 @@ def test_vit_encoder_hf_parity():
         blk = ViTBlock(32, 4)
         y = blk.apply({"params": params[f"vit_{i}"]}, y)
     np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_resnet50_train_mode_bn_torch_parity():
+    """VERDICT r2 item 8: train-mode BN (batch statistics) must match the
+    torch trunk in .train() mode — the reference fine-tunes its R50 with BNs
+    in train mode (ref resnet50.py:18-21). Batch of 3 so batch stats differ
+    materially from the (randomized) running stats."""
+    import torch
+    from empirical_mvm_tpu.models.encoders2d import ResNet50
+    from empirical_mvm_tpu.models.torch_import import resnet50_params_from_torch
+
+    torch.manual_seed(1)
+    ref = _torch_resnet50_trunk()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)        # far from batch stats
+                m.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = resnet50_params_from_torch(sd)
+
+    x = np.random.RandomState(1).rand(3, 64, 64, 3).astype(np.float32)
+    ref.train()
+    with torch.no_grad():                 # updates running stats, output
+        feat = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))   # uses batch
+    feat = feat.numpy().transpose(0, 2, 3, 1)
+
+    model = ResNet50()
+    y = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, jnp.asarray(x), use_batch_stats=True))(params))
+    np.testing.assert_allclose(y, feat, atol=2e-3, rtol=1e-2)
+
+    # and the default (frozen) path must NOT match train-mode output
+    y_eval = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, jnp.asarray(x)))(params))
+    assert np.abs(y_eval - feat).max() > 1e-2

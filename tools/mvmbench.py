@@ -27,27 +27,36 @@ try:
 except Exception:
     pass
 
-ALL_TARGETS = ["pixel", "hog", "vq", "depth", "optical_flow", "2d_feature",
-               "3d_feature"]
+ALL_TARGETS = ["pixel", "hog", "vq", "vq_pre", "depth", "optical_flow",
+               "2d_feature", "3d_feature"]
 
 
 def build(batch_size: int, target: str):
+    """``vq``: on-the-fly dVAE teacher in the step, with the fusion stack
+    REMATERIALIZED — the merged MTM+VTM 64-row pass plus the dVAE
+    activations exceed the chip's 15.75G HBM at batch 16 otherwise
+    (diagnosed round 2, commit 70e0d82). ``vq_pre``: pre-extracted tokens
+    via cli/extract_vq.py ride the batch — the reference's own cheap mode
+    (ref: main_pretrain.py:27-30, dalle=None branch at :203-209)."""
     from empirical_mvm_tpu.core.config import (BertConfig, ModelConfig,
                                                SwinConfig)
     from empirical_mvm_tpu.models.pretrain import VioletPretrain
     from empirical_mvm_tpu.train.optimizer import build_optimizer
     from empirical_mvm_tpu.train.train_step import (create_train_state,
                                                     make_pretrain_train_step)
+    on_the_fly = target == "vq"
+    mvm = "vq" if target == "vq_pre" else target
     cfg = ModelConfig(
         vis_backbone_size="base", size_img=224, size_frame=4, size_txt=32,
-        vq_on_the_fly=(target == "vq"),
+        vq_on_the_fly=on_the_fly,
         swin_custom=dataclasses.replace(SwinConfig.base(),
                                         use_pallas_attention=True),
         fusion=dataclasses.replace(BertConfig.base_uncased(),
-                                   use_pallas_attention=True))
+                                   use_pallas_attention=True,
+                                   remat=on_the_fly))
     model = VioletPretrain(config=cfg, dtype=jnp.bfloat16,
-                           mvm_target=(target,),
-                           vq_on_the_fly=(target == "vq"),
+                           mvm_target=(mvm,),
+                           vq_on_the_fly=on_the_fly,
                            pretrain_masks=("bm", "rm"))
     b, t, s = batch_size, cfg.size_frame, cfg.size_img
     rs = np.random.RandomState(0)
@@ -57,6 +66,13 @@ def build(batch_size: int, target: str):
                            .astype(np.int32)),
         "mask": jnp.asarray(np.ones((b, cfg.size_txt), np.int32)),
     }
+    if target == "vq_pre":
+        h = s // cfg.size_patch
+        lv = t * (1 + h * h)
+        vq = rs.randint(0, 8192, (b, lv)).astype(np.int32)
+        # CLS slots carry no token (ignore label), like the extractor output
+        vq[:, :: 1 + h * h] = -1
+        batch["vq"] = jnp.asarray(vq)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(lambda: model.init(
         {"params": rng, "dropout": rng, "mask": rng},
