@@ -43,6 +43,12 @@ class SwinConfig:
                             # model auto-falls back to the XLA einsum path
                             # off-TPU (set EMVM_PALLAS_INTERPRET=1 to force
                             # the kernel in interpret mode for tests)
+    use_pallas_layernorm: bool = False  # Pallas LN. Keep False for TRAINED
+                            # swins (measured net loss on the train step —
+                            # the custom-VJP boundary suppresses XLA fusions,
+                            # BENCH_LOCAL_r3.txt); set True for FROZEN
+                            # teacher swins, where the fwd-only LN stats
+                            # cost ~23ms/step in reduce fusions
     final_norm: bool = True  # HF 2D Swin hidden_states[-1] is pre-norm
     scan: bool = False      # nn.scan over (no-shift, shift) block pairs in
                             # even-depth stages >=4: ~depth/2-fold smaller

@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from empirical_mvm_tpu.core.config import BertConfig
-from empirical_mvm_tpu.ops.layernorm import FusedLayerNorm
+from empirical_mvm_tpu.ops.layernorm import layer_norm
 
 # HF BERT LayerNorm epsilon (bert-base-uncased config)
 _EPS = 1e-12
@@ -63,8 +63,7 @@ class BertEmbeddings(nn.Module):
         te = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
                       name="token_type_embeddings")(token_type_ids)
         x = we + pe + te
-        x = FusedLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                           name="LayerNorm")(x)
+        x = layer_norm(cfg.layer_norm_eps, self.dtype, "LayerNorm")(x)
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         return x.astype(self.dtype)
 
@@ -156,8 +155,7 @@ class BertSelfAttention(nn.Module):
         ctx = ctx.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, l, d)
         out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
-        out = FusedLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                             name="LayerNorm")(out + x)
+        out = layer_norm(cfg.layer_norm_eps, self.dtype, "LayerNorm")(out + x)
         if output_attentions:
             return out, probs
         return out, None
@@ -180,8 +178,7 @@ class BertLayer(nn.Module):
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(h)
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
-        x = FusedLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                           name="LayerNorm")(h + x)
+        x = layer_norm(cfg.layer_norm_eps, self.dtype, "LayerNorm")(h + x)
         return x, probs
 
 
@@ -276,7 +273,6 @@ class BertMLMHead(nn.Module):
         cfg = self.config
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="transform")(x)
         x = nn.gelu(x, approximate=False)
-        x = FusedLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                           name="LayerNorm")(x)
+        x = layer_norm(cfg.layer_norm_eps, self.dtype, "LayerNorm")(x)
         x = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="decoder")(x)
         return x

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from empirical_mvm_tpu.ops.layernorm import FusedLayerNorm
+from empirical_mvm_tpu.ops.layernorm import layer_norm
 from empirical_mvm_tpu.core.config import ModelConfig, SwinConfig
 from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
 from empirical_mvm_tpu.teachers.dpt import ViTBlock
@@ -74,7 +74,7 @@ class _PosEmbeds(nn.Module):
                                   (1, self.max_size_frame, 1, d))
         if self.with_odr:
             self.emb_odr = self.param("emb_odr", init, (1, 1, 1, d))
-        self.norm = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
+        self.norm = layer_norm(1e-5, self.dtype, "norm")
 
     def __call__(self, f, add_len: bool = True, apply_norm: bool = True):
         """f: (B, T, hw, D) -> tokens (B, T, 1+hw, D)."""

@@ -101,19 +101,29 @@ class VioletPretrain(VioletBase):
             from empirical_mvm_tpu.teachers.dpt import DPTDepth
             self.dpt = DPTDepth(dtype=self.dtype, name="dpt")
         if "3d_feature" in self.mvm_target:
-            # frozen Video-Swin-base feature teacher (ref: main_pretrain.py:153-163)
+            # frozen Video-Swin-base feature teacher (ref: main_pretrain.py:153-163).
+            # Teacher swins take the Pallas LN path: fwd-only, so the
+            # custom-VJP fusion penalty that rules it out for TRAINED swins
+            # doesn't apply, and the teacher's LN stats otherwise cost
+            # ~20ms/step in XLA reduce fusions (round-3 profile)
+            import dataclasses as _dc
+
             from empirical_mvm_tpu.core.config import SwinConfig
             from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
             self.feature_model = SwinTransformer3D(
-                config=SwinConfig.base(), dtype=self.dtype,
-                name="feature_model")
+                config=_dc.replace(SwinConfig.base(),
+                                   use_pallas_layernorm=True),
+                dtype=self.dtype, name="feature_model")
         elif "2d_feature" in self.mvm_target:
             # frozen 2D Swin-base feature teacher (ref: main_pretrain.py:164-174)
+            import dataclasses as _dc
+
             from empirical_mvm_tpu.models.encoders2d import swin2d_config
             from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
             self.feature_model = SwinTransformer3D(
-                config=swin2d_config("base"), dtype=self.dtype,
-                name="feature_model")
+                config=_dc.replace(swin2d_config("base"),
+                                   use_pallas_layernorm=True),
+                dtype=self.dtype, name="feature_model")
 
     # ---- helpers over the fused sequence ----
 

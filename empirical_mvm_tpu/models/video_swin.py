@@ -37,7 +37,7 @@ import numpy as np
 from flax import linen as nn
 
 from empirical_mvm_tpu.core.config import SwinConfig
-from empirical_mvm_tpu.ops.layernorm import FusedLayerNorm
+from empirical_mvm_tpu.ops.layernorm import layer_norm
 from empirical_mvm_tpu.ops.patch_embed import patch_embed_3d
 
 
@@ -231,18 +231,34 @@ class WindowAttention3D(nn.Module):
         use_fused = self.use_pallas and self.attn_drop == 0.0 and pallas_ok
 
         five_d = x.ndim == 5
+        t_fold = 1
         if five_d:
             assert window_eff is not None
             wd, wh, ww = window_eff
             b5, dp, hp, wp, _ = x.shape
             n = wd * wh * ww
+            # Superwindow fold (per-frame 2D swins, e.g. the frozen 2D
+            # feature teacher): T=1 windows give N=49 — tiny programs and
+            # 49-lane attention shapes that waste the MXU. Fold ``f``
+            # temporal slices into one N=f*49 superwindow and forbid
+            # cross-slice attention with an exact additive block-diagonal
+            # -1e9 mask (exp(-1e9)=0 in fp32 ⇒ bitwise block-diagonal
+            # probs): identical math, f-fold fewer programs, flagship-tuned
+            # N=196 shapes. The T-shift is always 0 when wd==1 (clamped), so
+            # per-window shift masks are t-independent and tile cleanly.
+            if use_fused and wd == 1 and dp > 1:
+                for f in (4, 2):
+                    if dp % f == 0 and f * n <= 196:
+                        t_fold = f
+                        break
             # Partition BEFORE the qkv GEMM. A single 9D qkv-before-partition
             # mega-transpose was measured SLOWER (52.2 -> 49.2 clips/s,
             # round 2): its (…, ww, 3nH, hd) sublane pattern beats two clean
             # transposes only on paper.
-            x = window_partition(x, window_eff)
-        if x.ndim == 3:
-            b_, n, _ = x.shape
+            x = window_partition(x, (wd * t_fold, wh, ww))
+        b_ = x.shape[0]
+        if not five_d:
+            n = x.shape[1]
         c = self.dim
         nh = self.num_heads
         head_dim = c // nh
@@ -281,18 +297,38 @@ class WindowAttention3D(nn.Module):
             # ~2x the attention math; see ops/window_attention.py)
             from empirical_mvm_tpu.ops.window_attention import (
                 packed_window_attention)
-            if mask is not None:
+            n_k = n * t_fold                           # kernel window size
+            if t_fold > 1:
+                # expand bias/mask to the superwindow: diagonal t-blocks
+                # carry the real values, off-blocks are -1e9 (bias) / 0
+                # (mask); where() routes the bias gradient back to the f
+                # diagonal blocks, so the rel-pos table grad is exact
+                eye = np.kron(np.eye(t_fold, dtype=bool),
+                              np.ones((n, n), dtype=bool))      # (Nk, Nk)
+                e = jnp.asarray(eye)
+                bias = jnp.where(e, jnp.tile(bias, (1, t_fold, t_fold)),
+                                 jnp.float32(-1e9))
+                if mask is not None:
+                    hw = mask.shape[0] // dp           # t-independent masks
+                    mask_arr = jnp.where(
+                        e, jnp.tile(jnp.asarray(mask[:hw], jnp.float32),
+                                    (1, t_fold, t_fold)), 0.0)
+                    nw = hw
+                else:
+                    mask_arr = jnp.zeros((1, n_k, n_k), jnp.float32)
+                    nw = 1
+            elif mask is not None:
                 mask_arr = jnp.asarray(mask, jnp.float32)
                 nw = mask.shape[0]
             else:
-                mask_arr = jnp.zeros((1, n, n), jnp.float32)
+                mask_arr = jnp.zeros((1, n_k, n_k), jnp.float32)
                 nw = 1
-            qkv = qkv.reshape(b_, n, 3 * nh, head_dim)
-            qkv = qkv.transpose(0, 2, 1, 3)            # (B_, 3nH, N, hd)
+            qkv = qkv.reshape(b_, n_k, 3 * nh, head_dim)
+            qkv = qkv.transpose(0, 2, 1, 3)            # (B_, 3nH, Nk, hd)
             x = packed_window_attention(
                 qkv, bias, mask_arr, nw, nh, float(scale),
-                not on_tpu)                            # (B_, nH, N, hd)
-            x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
+                not on_tpu)                            # (B_, nH, Nk, hd)
+            x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n_k, c)
         else:
             qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
             qkv = qkv.transpose(2, 0, 3, 1, 4)             # (3, B_, nH, N, hd)
@@ -315,7 +351,8 @@ class WindowAttention3D(nn.Module):
         x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
         if five_d:
-            x = window_reverse(x, window_eff, b5, dp, hp, wp)
+            x = window_reverse(x, (window_eff[0] * t_fold, *window_eff[1:]),
+                               b5, dp, hp, wp)
         return x
 
 
@@ -347,6 +384,7 @@ class SwinTransformerBlock3D(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     use_pallas: bool = False
+    use_pallas_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -359,7 +397,7 @@ class SwinTransformerBlock3D(nn.Module):
             (d, h, w), self.window_size, self.shift_size)
 
         shortcut = x
-        x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = layer_norm(1e-5, self.dtype, "norm1", self.use_pallas_ln)(x)
 
         # pad to window multiples (ref: visbackbone/video_swin.py:213-218)
         pad_d = (window_size[0] - d % window_size[0]) % window_size[0]
@@ -397,7 +435,7 @@ class SwinTransformerBlock3D(nn.Module):
                   if (not deterministic and has_dp) else None)
         x = shortcut + drop_path(x, drop_path_rate, deterministic, dp_rng)
 
-        y = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = layer_norm(1e-5, self.dtype, "norm2", self.use_pallas_ln)(x)
         y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
                 out_features=self.dim, dropout_rate=self.drop,
                 dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
@@ -410,6 +448,7 @@ class PatchMerging(nn.Module):
     """2x2 spatial merge between stages (ref: visbackbone/video_swin.py:266-289)."""
 
     dim: int
+    use_pallas_ln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -422,7 +461,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, :, 0::2, 1::2, :]
         x3 = x[:, :, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = layer_norm(1e-5, self.dtype, "norm", self.use_pallas_ln)(x)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                      name="reduction")(x)
         return x
@@ -494,6 +533,7 @@ class BasicLayer(nn.Module):
     downsample: bool = False
     remat: bool = False
     use_pallas: bool = False
+    use_pallas_ln: bool = False
     scan: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -520,7 +560,8 @@ class BasicLayer(nn.Module):
                       window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                       qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                       drop=self.drop, attn_drop=self.attn_drop,
-                      use_pallas=self.use_pallas, dtype=self.dtype)
+                      use_pallas=self.use_pallas,
+                      use_pallas_ln=self.use_pallas_ln, dtype=self.dtype)
         half_shift = tuple(s // 2 for s in self.window_size)
         rates = [self.drop_path_rates[i]
                  if i < len(self.drop_path_rates) else 0.0
@@ -554,7 +595,8 @@ class BasicLayer(nn.Module):
                 )(x, attn_mask, rates[i], deterministic)
 
         if self.downsample:
-            x = PatchMerging(dim=self.dim, dtype=self.dtype, name="downsample")(x)
+            x = PatchMerging(dim=self.dim, use_pallas_ln=self.use_pallas_ln,
+                             dtype=self.dtype, name="downsample")(x)
         return x
 
 
@@ -584,7 +626,8 @@ class SwinTransformer3D(nn.Module):
             dtype=self.dtype,
         )
         if cfg.patch_norm:
-            x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_embed_norm")(x)
+            x = layer_norm(1e-5, self.dtype, "patch_embed_norm",
+                           cfg.use_pallas_layernorm)(x)
         x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
         dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
@@ -604,11 +647,13 @@ class SwinTransformer3D(nn.Module):
                 downsample=(i < len(cfg.depths) - 1),
                 remat=cfg.remat,
                 use_pallas=cfg.use_pallas_attention,
+                use_pallas_ln=cfg.use_pallas_layernorm,
                 scan=cfg.scan,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, deterministic=deterministic)
 
         if cfg.final_norm:
-            x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+            x = layer_norm(1e-5, self.dtype, "norm",
+                           cfg.use_pallas_layernorm)(x)
         return x

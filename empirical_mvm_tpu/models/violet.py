@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from empirical_mvm_tpu.ops.layernorm import FusedLayerNorm
+from empirical_mvm_tpu.ops.layernorm import layer_norm
 from empirical_mvm_tpu.core.config import ModelConfig
 from empirical_mvm_tpu.models.bert import (
     BertEmbeddings, BertEncoder, BertMLMHead, extended_attention_mask)
@@ -67,7 +67,7 @@ class EncVideo(nn.Module):
                                   (1, 1, 1 + cfg.max_size_patch ** 2, d))
         self.emb_len = self.param("emb_len", init, (1, cfg.max_size_frame, 1, d))
         self.emb_odr = self.param("emb_odr", init, (1, 1, 1, d))
-        self.norm = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
+        self.norm = layer_norm(1e-5, self.dtype, "norm")
 
     def __call__(self, img, odr: Optional[jax.Array] = None,
                  vt_mask: Optional[jax.Array] = None,

@@ -1,9 +1,17 @@
 """Fused LayerNorm Pallas kernel (forward + custom-VJP backward).
 
-XLA lowers LayerNorm to separate reduce + broadcast-elementwise fusions that
-re-read the activation from HBM several times per pass; at the flagship
-pretrain shapes those reduce-fusions cost ~24 ms/step (round-2 profile,
-BENCH_LOCAL_r2.txt). This kernel does one HBM read and one write per pass:
+MEASURED NEGATIVE RESULT on the flagship step (round 3, BENCH_LOCAL_r3.txt):
+wiring this kernel into every swin/BERT LayerNorm moved the step 56.6 ->
+55.1 clips/s. The round-2 profile attributed ~24 ms/step to LN-shaped
+reduce-fusions, but those fusions carry neighboring elementwise work that
+must happen anyway, and the custom-VJP boundary suppresses XLA fusions
+worth more than the kernel saves (the kernelized LNs themselves measure
+~8 ms/step). The hot paths therefore default to nn.LayerNorm via the
+:func:`layer_norm` factory below; EMVM_PALLAS_LN=1 opts the kernel back in
+for experiments. The kernel stays verified (interpret-mode CPU tests +
+the -m tpu on-chip suite) as infrastructure.
+
+Kernel design (one HBM read and one write per pass):
 
   forward:  grid over row blocks (Rb, C); per-row mean/var in fp32, then
             y = (x - mean) * rsqrt(var + eps) * gamma + beta, cast to the
@@ -206,3 +214,22 @@ class FusedLayerNorm(nn.Module):
             return fused_layer_norm(x, scale, bias, float(self.epsilon),
                                     not on_tpu)
         return layer_norm_reference(x, scale, bias, float(self.epsilon))
+
+
+def layer_norm(epsilon: float, dtype, name: str,
+               use_pallas: bool | None = None):
+    """LayerNorm factory for the hot paths.
+
+    ``use_pallas=None`` (default) means flax ``nn.LayerNorm`` unless
+    EMVM_PALLAS_LN=1: the round-3 A/B measured the kernel as a net LOSS on
+    the TRAINED flagship step (56.6 -> 55.1 clips/s; the custom-VJP boundary
+    suppresses XLA fusions worth more than the kernel saves; the fp32-oracle
+    XLA LN was 55.7). Param trees are identical either way.
+
+    ``use_pallas=True`` forces :class:`FusedLayerNorm` — correct for FROZEN
+    teacher swins, whose fwd-only LN stats cost ~23ms/step in XLA reduce
+    fusions and have no backward to fuse (SwinConfig.use_pallas_layernorm).
+    """
+    if use_pallas or (use_pallas is None and _os.environ.get("EMVM_PALLAS_LN")):
+        return FusedLayerNorm(epsilon=epsilon, dtype=dtype, name=name)
+    return nn.LayerNorm(epsilon=epsilon, dtype=dtype, name=name)

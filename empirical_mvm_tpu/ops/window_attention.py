@@ -139,7 +139,17 @@ def _tiles(b_: int, nh: int, n: int, n_windows: int,
            cap: int) -> tuple[int, int]:
     """(head_tile, window_tile) with head_tile*window_tile <= cap; the window
     tile must divide the window count (so a block never crosses a batch
-    row's window boundary) and B_."""
+    row's window boundary) and B_.
+
+    The cap budgets VMEM for fp32 (N, N) softmax temporaries at the flagship
+    N=196; smaller windows (the 2D teacher's N=49, stage-3's clamped
+    windows) have quadratically smaller temporaries, so the cap scales by
+    (196/N)^2, clamped to 64 units — 256 units at N=49 oversubscribed VMEM
+    and crashed the Mosaic compile helper (round 3). Fewer, fatter programs
+    amortize grid/DMA overhead (the N=49 teacher otherwise spends
+    ~10ms/step on per-window program overhead)."""
+    if n < 196:
+        cap = min(cap * ((196 * 196) // (n * n)), 64)
     hb = min(nh, 8, cap)
     while nh % hb:
         hb -= 1

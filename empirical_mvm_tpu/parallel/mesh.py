@@ -79,17 +79,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
-    """Place a host batch onto the mesh, sharded on its leading dim."""
+    """Place a host batch onto the mesh, sharded on its leading dim.
+
+    One ``jax.device_put`` call for the whole pytree: per-leaf puts cost a
+    full tunnel/RPC round-trip each (measured 64ms/step vs 9ms for the
+    batched put on the axon setup, BENCH_LOCAL_r3.txt)."""
     sh = batch_sharding(mesh, axis_name)
     rep = replicated(mesh)
-
-    def put(x):
-        x = np.asarray(x)
-        if x.ndim == 0:
-            return jax.device_put(x, rep)
-        return jax.device_put(x, sh)
-
-    return jax.tree.map(put, batch)
+    batch = jax.tree.map(np.asarray, batch)
+    shardings = jax.tree.map(lambda x: rep if np.ndim(x) == 0 else sh, batch)
+    return jax.device_put(batch, shardings)
 
 
 def param_shardings(mesh: Mesh, params: Any, fsdp: bool = False,

@@ -26,33 +26,56 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from empirical_mvm_tpu.ops.layernorm import FusedLayerNorm
+from empirical_mvm_tpu.ops.layernorm import layer_norm
 
 
 class ViTBlock(nn.Module):
-    """timm vision_transformer Block (norm1 -> MHA -> res, norm2 -> MLP -> res)."""
+    """timm vision_transformer Block (norm1 -> MHA -> res, norm2 -> MLP -> res).
+
+    ``use_pallas=True`` (frozen-teacher path, set by DPTDepth) routes the
+    attention through the packed fused kernel (probs stay in VMEM) and the
+    LayerNorms through the Pallas LN kernel — both fwd-only wins; trainable
+    users (the MERLOT encoder) keep the XLA path, where the custom-VJP
+    boundary is a measured net loss (BENCH_LOCAL_r3.txt)."""
 
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        import os as _os
         b, l, d = x.shape
-        hd = self.dim // self.num_heads
-        y = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        nh = self.num_heads
+        hd = self.dim // nh
+        on_tpu = jax.default_backend() == "tpu"
+        fused = (self.use_pallas
+                 and (on_tpu or bool(_os.environ.get("EMVM_PALLAS_INTERPRET"))))
+        y = layer_norm(1e-6, self.dtype, "norm1", fused or None)(x)
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(y)
-        qkv = qkv.reshape(b, l, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if fused:
+            from empirical_mvm_tpu.ops.window_attention import (
+                packed_self_attention)
+            qkv = qkv.reshape(b, l, 3 * nh, hd).transpose(0, 2, 1, 3)
+            ctx = packed_self_attention(
+                qkv, jnp.zeros((b, l, l), jnp.float32),
+                jnp.zeros((1,), jnp.int32), nh, float(hd ** -0.5), 0.0,
+                not on_tpu)
+            ctx = ctx.astype(self.dtype)
+        else:
+            qkv = qkv.reshape(b, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                             preferred_element_type=jnp.float32
+                             ).astype(self.dtype)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="proj")(ctx)
-        y = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = layer_norm(1e-6, self.dtype, "norm2", fused or None)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="fc1")(y)
         y = nn.gelu(y, approximate=False)
@@ -157,8 +180,9 @@ class DPTDepth(nn.Module):
 
         captured = {}
         for i in range(self.vit_depth):
-            tokens = ViTBlock(d, self.vit_heads, dtype=self.dtype,
-                              name=f"block_{i}")(tokens)
+            # frozen teacher: fused attention + Pallas LN (fwd-only wins)
+            tokens = ViTBlock(d, self.vit_heads, use_pallas=True,
+                              dtype=self.dtype, name=f"block_{i}")(tokens)
             if i in self.hooks:
                 captured[self.hooks.index(i)] = tokens
 

@@ -117,12 +117,14 @@ class AgentBase:
                         self.cfg.path_output)
 
     def train_epoch(self, loader: Iterable, epoch: int) -> dict[str, float]:
+        from empirical_mvm_tpu.data.loader import DevicePrefetcher
         t_start = time.time()
         n = 0
         pending: list[dict] = []   # device scalars; drained at logging steps
-        for batch in loader:
+        stream = DevicePrefetcher(
+            loader, lambda b: shard_batch(self.mesh, self._device_batch(b)))
+        for _tag, sb in stream:
             self._maybe_profile_start()
-            sb = shard_batch(self.mesh, self._device_batch(batch))
             self.state, ls = self.train_step(self.state, sb, self.rng)
             self.global_step += 1
             n += 1
@@ -248,10 +250,13 @@ class PretrainAgent(AgentBase):
     def run_meta(self, meta_loader, num_steps: int,
                  eval_every: int = 0, eval_fn=None) -> None:
         """MetaLoader-driven pretraining (ref: main_pretrain_yaml.py:151-194)."""
+        from empirical_mvm_tpu.data.loader import DevicePrefetcher
+        stream = DevicePrefetcher(
+            iter(meta_loader),
+            lambda b: shard_batch(self.mesh, self._device_batch(b)))
         pending: list[tuple[str, dict]] = []
-        for (task, batch), _ in zip(iter(meta_loader), range(num_steps)):
+        for (task, sb), _ in zip(iter(stream), range(num_steps)):
             self._maybe_profile_start()
-            sb = shard_batch(self.mesh, self._device_batch(batch))
             self.state, ls = self.train_step(self.state, sb, self.rng)
             self.global_step += 1
             self._maybe_profile_stop(ls)

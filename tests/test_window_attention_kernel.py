@@ -214,3 +214,32 @@ def test_fused_self_attention_dropout_grads_consistent():
     dv_ref = np.einsum("bhqk,bhqd->bhkd", pd, 2 * o)
     g = np.asarray(jax.jit(jax.grad(lambda v: jnp.sum(f(v) ** 2)))(v))
     np.testing.assert_allclose(g, dv_ref, atol=5e-2)   # bwd used same mask
+
+
+def test_superwindow_fold_matches_unfolded(monkeypatch):
+    """Per-frame 2D swin (window (1,7,7), T=4): the fused path folds 4
+    temporal slices into one N=196 superwindow with an exact block-diagonal
+    mask. Outputs must match the unfolded XLA path (which never folds)."""
+    monkeypatch.setenv("EMVM_PALLAS_INTERPRET", "1")
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from empirical_mvm_tpu.core.config import SwinConfig
+    from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
+
+    cfg = SwinConfig(patch_size=(1, 4, 4), embed_dim=16, depths=(2, 2),
+                     num_heads=(2, 4), window_size=(1, 7, 7),
+                     drop_path_rate=0.0, final_norm=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 56, 56, 3),
+                    jnp.float32)
+    m_ref = SwinTransformer3D(config=dataclasses.replace(
+        cfg, use_pallas_attention=False))
+    m_fused = SwinTransformer3D(config=dataclasses.replace(
+        cfg, use_pallas_attention=True))
+    params = m_ref.init(jax.random.PRNGKey(0), x)["params"]
+    ref = m_ref.apply({"params": params}, x)
+    out = m_fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
