@@ -2,13 +2,22 @@
 
 Prints ONE JSON line:
   {"metric": "pretrain_clips_per_sec_per_chip", "value": N,
-   "unit": "clips/s/chip", "vs_baseline": R}
+   "unit": "clips/s/chip", "vs_baseline": R, "mvm_target": "2d_feature",
+   "pixel_clips_per_sec": M}
 
 Config mirrors the reference's headline pretrain setup (ref:
 _args/args_pretrain.json): VIOLETv2-base backbone (Video-Swin-base), 4 frames
 at 224^2, 32 text tokens, MTM+VTM+MVM objectives with bm/rm masking — the
 full jitted training step including on-device masking, in-batch VTM
 negatives, backward, and the AdamW update.
+
+Round 3 (VERDICT r2 item 2): the HEADLINE value is now the reference's real
+flagship MVM target — ``mvm_target="2d_feature"`` (frozen 2D-Swin feature
+teacher in the loop, ref: _args/args_pretrain.json:28, main_pretrain.py:
+508-545) — with the round-1/2 pixel series kept as a secondary key for
+continuity. The series break is deliberate: 2d_feature carries a frozen
+teacher forward (~60ms/step) that pixel does not, so the headline drops
+from 56.6 (r2 pixel) to ~44 while measuring strictly MORE reference work.
 
 ``vs_baseline``: the reference publishes NO throughput numbers
 (BASELINE.md: "speed baselines must be measured"). We normalize against a
@@ -57,7 +66,7 @@ except Exception:
 REFERENCE_CLIPS_PER_SEC_PER_GPU = 50.0
 
 
-def build(batch_size: int):
+def build(batch_size: int, mvm_target: str = "2d_feature"):
     from empirical_mvm_tpu.core.config import ModelConfig
     from empirical_mvm_tpu.models.pretrain import VioletPretrain
     from empirical_mvm_tpu.train.optimizer import build_optimizer
@@ -77,7 +86,7 @@ def build(batch_size: int):
         fusion=dataclasses.replace(BertConfig.base_uncased(),
                                    use_pallas_attention=True))
     model = VioletPretrain(config=cfg, dtype=jnp.bfloat16,
-                           mvm_target=("pixel",),
+                           mvm_target=(mvm_target,),
                            pretrain_masks=("bm", "rm"))
     b, t, s = batch_size, cfg.size_frame, cfg.size_img
     rs = np.random.RandomState(0)
@@ -98,7 +107,7 @@ def build(batch_size: int):
     return step, state, batch
 
 
-def main():
+def measure(mvm_target: str):
     batch_size = None
     step = state = batch = None
     for bs in (16, 8, 4):
@@ -108,7 +117,7 @@ def main():
         # heavy use (observed round 2) — both recover on retry
         for attempt in range(4):
             try:
-                step, state, batch = build(bs)
+                step, state, batch = build(bs, mvm_target)
                 rng = jax.random.PRNGKey(1)
                 state, ls = step(state, batch, rng)   # compile + step 1
                 jax.block_until_ready(ls)
@@ -117,8 +126,9 @@ def main():
             except Exception as e:  # noqa: BLE001
                 msg = str(e)
                 import sys
-                print(f"[bench] bs={bs} attempt={attempt} failed: "
-                      f"{type(e).__name__}: {msg[:400]}", file=sys.stderr)
+                print(f"[bench] {mvm_target} bs={bs} attempt={attempt} "
+                      f"failed: {type(e).__name__}: {msg[:400]}",
+                      file=sys.stderr)
                 if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
                     break                              # try a smaller batch
                 if "FAILED_PRECONDITION" in msg or "backend error" in msg:
@@ -132,7 +142,7 @@ def main():
                 break
         if batch_size is not None:
             break
-    assert batch_size is not None, "no batch size compiled"
+    assert batch_size is not None, f"no batch size compiled for {mvm_target}"
 
     rng = jax.random.PRNGKey(2)
     n_warm, n_meas = 3, 10
@@ -144,14 +154,38 @@ def main():
         state, ls = step(state, batch, rng)
     jax.block_until_ready(ls)
     dt = time.perf_counter() - t0
+    return batch_size * n_meas / dt
 
-    clips_per_sec = batch_size * n_meas / dt
-    print(json.dumps({
+
+def main():
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "--series":
+        # child mode: measure one series and print just the number
+        print(round(measure(sys.argv[2]), 2))
+        return
+    clips_per_sec = measure("2d_feature")   # the reference's flagship target
+    out = {
         "metric": "pretrain_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip",
-        "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC_PER_GPU, 3),
-    }))
+        "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC_PER_GPU,
+                             3),
+        "mvm_target": "2d_feature",
+    }
+    try:
+        # secondary series for round-over-round continuity (r1/r2 headline).
+        # A FRESH process per series: measuring a second model in the same
+        # process reads ~9% slow (device-memory/compilation residue from the
+        # first — measured 56.6 alone vs 51.5 in-process, round 3).
+        import subprocess
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--series", "pixel"],
+            capture_output=True, text=True, timeout=1200)
+        if r.returncode == 0 and r.stdout.strip():
+            out["pixel_clips_per_sec"] = float(r.stdout.strip().split()[-1])
+    except Exception:  # noqa: BLE001 — secondary series must not kill the run
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
