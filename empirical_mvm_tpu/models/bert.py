@@ -113,11 +113,15 @@ class BertSelfAttention(nn.Module):
             # packed kernel; probs (62MB/layer/pass at pretrain VTM shapes)
             # never leave VMEM and dropout rides the on-core PRNG
             from empirical_mvm_tpu.ops.window_attention import (
+                lane_attention_fits, lane_self_attention,
                 packed_self_attention)
             w3 = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             b3 = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
             qkv = x @ w3 + b3                          # (B, L, 3D)
-            qkv = qkv.reshape(b, l, 3 * nh, hd).transpose(0, 2, 1, 3)
+            use_lane = (lane_attention_fits(b, l, d, nh, 1)
+                        and not _os.environ.get("EMVM_PACKED_ATTN"))
+            if not use_lane:
+                qkv = qkv.reshape(b, l, 3 * nh, hd).transpose(0, 2, 1, 3)
             if attn_bias is None:
                 mask = jnp.zeros((b, l, l), jnp.float32)
             else:
@@ -132,9 +136,16 @@ class BertSelfAttention(nn.Module):
                     dtype=jnp.int32)
             else:
                 seed = jnp.zeros((1,), jnp.int32)
-            ctx = packed_self_attention(
-                qkv, mask, seed, nh, float(1.0 / np.sqrt(hd)), p_drop,
-                not on_tpu)
+            if use_lane:
+                # lane-sliced kernel: consumes (B, L, 3D) directly, returns
+                # (B, L, D) — no packing transposes (round 3)
+                ctx = lane_self_attention(
+                    qkv, mask, seed, nh, float(1.0 / np.sqrt(hd)), p_drop,
+                    not on_tpu)
+            else:
+                ctx = packed_self_attention(
+                    qkv, mask, seed, nh, float(1.0 / np.sqrt(hd)), p_drop,
+                    not on_tpu)
             probs = None
         else:
             def lin(w, bb):
@@ -152,7 +163,10 @@ class BertSelfAttention(nn.Module):
 
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_c, v,
                              preferred_element_type=jnp.float32)
-        ctx = ctx.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, l, d)
+        if ctx.ndim == 4:                     # (B, nH, L, hd) packed/XLA path
+            ctx = ctx.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, l, d)
+        else:                                 # (B, L, D) lane-kernel path
+            ctx = ctx.astype(self.dtype)
         out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         out = layer_norm(cfg.layer_norm_eps, self.dtype, "LayerNorm")(out + x)

@@ -290,12 +290,15 @@ class WindowAttention3D(nn.Module):
             bias = bias.transpose(2, 0, 1).astype(jnp.float32)  # (nH, N, N)
 
         if use_fused:
-            # fused Pallas path: ONE transpose into (B_, 3nH, N, hd) — on
-            # the 5D input this transpose IS the window partition too — and
-            # the kernel reads q/k/v head-tiles via block indexing on the
-            # same array (the old reshape/transpose/slice chain profiled at
-            # ~2x the attention math; see ops/window_attention.py)
+            # fused Pallas path (round 3): the lane-sliced kernel consumes
+            # the qkv GEMM output (B_, N, 3C) DIRECTLY — q/k/v are
+            # 128-divisible lane segments of the 3C axis, heads split
+            # in-kernel — and returns (B_, N, C) for the proj GEMM. No
+            # layout transpose on either side (the packed (B_, 3nH, N, hd)
+            # relayout cost ~1.8ms x ~10 instances/step incl. remat
+            # duplicates in the round-3 trace; see ops/window_attention.py)
             from empirical_mvm_tpu.ops.window_attention import (
+                lane_attention_fits, lane_window_attention,
                 packed_window_attention)
             n_k = n * t_fold                           # kernel window size
             if t_fold > 1:
@@ -323,12 +326,20 @@ class WindowAttention3D(nn.Module):
             else:
                 mask_arr = jnp.zeros((1, n_k, n_k), jnp.float32)
                 nw = 1
-            qkv = qkv.reshape(b_, n_k, 3 * nh, head_dim)
-            qkv = qkv.transpose(0, 2, 1, 3)            # (B_, 3nH, Nk, hd)
-            x = packed_window_attention(
-                qkv, bias, mask_arr, nw, nh, float(scale),
-                not on_tpu)                            # (B_, nH, Nk, hd)
-            x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n_k, c)
+            if (lane_attention_fits(b_, n_k, c, nh, nw)
+                    and not _os.environ.get("EMVM_PACKED_ATTN")):
+                x = lane_window_attention(
+                    qkv, bias, mask_arr, nw, nh, float(scale),
+                    not on_tpu).astype(self.dtype)     # (B_, Nk, C)
+            else:
+                # packed fallback (EMVM_PACKED_ATTN=1 or non-128-divisible C)
+                qkv = qkv.reshape(b_, n_k, 3 * nh, head_dim)
+                qkv = qkv.transpose(0, 2, 1, 3)        # (B_, 3nH, Nk, hd)
+                x = packed_window_attention(
+                    qkv, bias, mask_arr, nw, nh, float(scale),
+                    not on_tpu)                        # (B_, nH, Nk, hd)
+                x = (x.astype(self.dtype).transpose(0, 2, 1, 3)
+                     .reshape(b_, n_k, c))
         else:
             qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
             qkv = qkv.transpose(2, 0, 3, 1, 4)             # (3, B_, nH, N, hd)

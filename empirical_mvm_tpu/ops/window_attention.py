@@ -590,6 +590,400 @@ def _psa_bwd(n_heads, scale, p_drop, interpret, res, do):
 packed_self_attention.defvjp(_psa_fwd, _psa_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Lane-sliced entry (round 3): consume the qkv GEMM output (B_, N, 3C)
+# DIRECTLY. The packed path still needs one (B_, N, 3nH, hd) -> (B_, 3nH, N,
+# hd) layout transpose each way, and XLA materializes it as a real HBM copy
+# (~1.8ms per stage-0 instance, ~10 instances/step incl. remat duplicates —
+# round-3 trace). Mosaic's BlockSpec rule that killed the zero-copy variant
+# in round 2 ("block minor dims must be 128-divisible or whole") does NOT
+# bind here: the q/k/v C-SEGMENTS of the 3C axis are 128-divisible at every
+# swin stage (C in {128, 256, 512, 1024}) and in BERT (768), so three
+# BlockSpecs index the same array at lane-segment offsets, and the hd=32/64
+# head split happens INSIDE the kernel as static lane slices (measured fine:
+# stage-0 fwd 2.47ms lane vs 5.02ms transpose+packed, tools/lanebench.py).
+# The head loop is a static python unroll; outputs concatenate back to
+# (B_, N, C) so the proj GEMM consumes the kernel output with no transpose
+# either. VMEM tiles are chosen by an explicit byte estimator (_lane_g).
+# ---------------------------------------------------------------------------
+
+
+def _lane_bytes(g, n, c, nh, backward):
+    """Per-program VMEM estimate. Grid-streamed blocks (non-constant index
+    maps) are DOUBLE-buffered by the pipeline; the bias (and dbias
+    accumulator) have constant indices and stay single. The unrolled head
+    loop keeps all nh per-head outputs live until the final lane concat."""
+    inb = (4 if backward else 3) * g * n * c * 2 * 2      # bf16, x2 dbuf
+    outb = g * n * (3 * c if backward else c) * 2 * 2     # x2 dbuf
+    maskb = g * n * n * 4 * 2                             # streamed, x2
+    biasb = nh * n * n * 4 * (2 if backward else 1)       # resident
+    temps = (4 if backward else 2) * g * n * n * 4        # live f32 (N, N)
+    acc = (3 if backward else 1) * g * n * c * 2          # per-head outputs
+    return inb + outb + maskb + biasb + temps + acc
+
+
+def _lane_budget():
+    return int(_os.environ.get("EMVM_LANE_BUDGET_MB", "10")) * 2**20
+
+
+def lane_attention_fits(b_, n, c, nh, n_windows) -> bool:
+    """Whether the lane kernel's WORST pass (backward at g=1) fits VMEM —
+    e.g. swin stage 3 (nh=32: a 4.9MB resident bias + its dbias twin) does
+    not, and routes to the packed path instead."""
+    return (c % 128 == 0
+            and _lane_bytes(1, n, c, nh, backward=True) <= _lane_budget())
+
+
+def _lane_g(b_, n, c, nh, n_windows, backward):
+    """Largest window-group size g (dividing B_ and the mask period) whose
+    per-program VMEM footprint fits the budget."""
+    budget = _lane_budget()
+    gdom = n_windows if n_windows > 1 else b_
+    g = gdom
+    while g > 1 and (gdom % g or b_ % g
+                     or _lane_bytes(g, n, c, nh, backward) > budget):
+        g -= 1
+    return max(g, 1)
+
+
+def _lane_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+                     scale, nh):
+    qa = q_ref[...]                                   # (G, N, C)
+    ka = k_ref[...]
+    va = v_ref[...]
+    g, n, c = qa.shape
+    hd = c // nh
+    m = mask_ref[...]                                 # (G or 1, N, N)
+    outs = []
+    for h in range(nh):
+        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2)
+        k = jax.lax.slice_in_dim(ka, h * hd, (h + 1) * hd, axis=2)
+        v = jax.lax.slice_in_dim(va, h * hd, (h + 1) * hd, axis=2)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # (G, N, N) f32
+        s = s + bias_ref[h][None] + m
+        p = jax.nn.softmax(s, axis=-1).astype(va.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
+def _lane_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
+                     dx3_ref, dbias_ref, *, scale, nh):
+    b = pl.program_id(0)
+    qa = q_ref[...]
+    ka = k_ref[...]
+    va = v_ref[...]
+    doa = do_ref[...]
+    g, n, c = qa.shape
+    hd = c // nh
+    m = mask_ref[...]
+    dtype = qa.dtype
+
+    @pl.when(b == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    dqs, dks, dvs = [], [], []
+    for h in range(nh):
+        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2)
+        k = jax.lax.slice_in_dim(ka, h * hd, (h + 1) * hd, axis=2)
+        v = jax.lax.slice_in_dim(va, h * hd, (h + 1) * hd, axis=2)
+        do = jax.lax.slice_in_dim(doa, h * hd, (h + 1) * hd, axis=2)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[h][None] + m
+        p = jax.nn.softmax(s, axis=-1)                # (G, N, N) f32
+        p_lo = p.astype(dtype)
+        dv = jax.lax.dot_general(p_lo, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+        ds_lo = ds.astype(dtype)
+        dq = jax.lax.dot_general(ds_lo, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds_lo, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq.astype(dtype))
+        dks.append(dk.astype(dtype))
+        dvs.append(dv.astype(dtype))
+    dx3_ref[...] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
+def _lane_specs(b_, n, c, n_windows, g):
+    seg = lambda s: pl.BlockSpec((g, n, c), lambda b, s=s: (b, 0, s),
+                                 memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, n, c), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if n_windows > 1:
+        mask_spec = pl.BlockSpec((g, n, n),
+                                 lambda b: (b % (n_windows // g), 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((1, n, n), lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    return seg, out_spec, mask_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def lane_window_attention(x3: jax.Array, bias: jax.Array, mask: jax.Array,
+                          n_windows: int, n_heads: int, scale: float,
+                          interpret: bool = False) -> jax.Array:
+    """Fused window attention straight off the qkv GEMM output.
+
+    Args:
+      x3:   (B_, N, 3C) — the qkv Dense output, last axis ordered (3, nH,
+            hd) exactly like the reference's reshape
+            (ref: visbackbone/video_swin.py:147-150). C must be
+            128-divisible (all swin stages are).
+      bias: (nH, N, N) fp32 relative-position bias (trainable).
+      mask: (n_windows, N, N) fp32 additive shift mask (constant).
+    Returns:
+      (B_, N, C) in x3.dtype — ready for the output projection, no
+      transposes on either side.
+    """
+    return _lane_fwd(x3, bias, mask, n_windows, n_heads, scale,
+                     interpret)[0]
+
+
+def _lane_fwd(x3, bias, mask, n_windows, n_heads, scale, interpret):
+    b_, n, c3 = x3.shape
+    c = c3 // 3
+    assert c3 == 3 * c and c % n_heads == 0 and b_ % n_windows == 0
+    nh = n_heads
+    bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    g = _lane_g(b_, n, c, nh, n_windows, backward=False)
+    seg, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
+    out = pl.pallas_call(
+        functools.partial(_lane_fwd_kernel, scale=scale, nh=nh),
+        grid=(b_ // g,),
+        in_specs=[seg(0), seg(1), seg(2), bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b_, n, c), x3.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b_ * n * n * c,
+            bytes_accessed=4 * b_ * n * c * x3.dtype.itemsize,
+            transcendentals=b_ * nh * n * n),
+        interpret=interpret,
+    )(x3, x3, x3, bias, mask)
+    return out, (x3, bias, mask)
+
+
+def _lane_bwd(n_windows, n_heads, scale, interpret, res, do):
+    x3, bias, mask = res
+    b_, n, c3 = x3.shape
+    c = c3 // 3
+    nh = n_heads
+    bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    g = _lane_g(b_, n, c, nh, n_windows, backward=True)
+    seg, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
+    dx3_spec = pl.BlockSpec((g, n, c3), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dx3, dbias = pl.pallas_call(
+        functools.partial(_lane_bwd_kernel, scale=scale, nh=nh),
+        grid=(b_ // g,),
+        in_specs=[seg(0), seg(1), seg(2), bias_spec, mask_spec, out_spec],
+        out_specs=(dx3_spec, bias_spec),
+        out_shape=(jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+                   jax.ShapeDtypeStruct(bias.shape, jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b_ * n * n * c,
+            bytes_accessed=8 * b_ * n * c * x3.dtype.itemsize,
+            transcendentals=b_ * nh * n * n),
+        interpret=interpret,
+    )(x3, x3, x3, bias, mask, do)
+    return dx3, dbias, jnp.zeros_like(mask)
+
+
+lane_window_attention.defvjp(_lane_fwd, _lane_bwd)
+
+
+def _lane_sa_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                        scale, nh, p_drop):
+    qa = q_ref[...]                                   # (G, N, C)
+    ka = k_ref[...]
+    va = v_ref[...]
+    g, n, c = qa.shape
+    hd = c // nh
+    m = mask_ref[...]                                 # (G, N, N) per-row
+    if p_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    outs = []
+    for h in range(nh):
+        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2)
+        k = jax.lax.slice_in_dim(ka, h * hd, (h + 1) * hd, axis=2)
+        v = jax.lax.slice_in_dim(va, h * hd, (h + 1) * hd, axis=2)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        s = s + m
+        p = jax.nn.softmax(s, axis=-1)
+        if p_drop > 0.0:
+            # sequential draws per head: the on-core PRNG stream advances
+            # deterministically, and the bwd kernel replays the identical
+            # (seed, program, head-order) sequence
+            bits = pltpu.prng_random_bits(p.shape)
+            thresh = jnp.int32(min(2**31 - 1,
+                                   int(p_drop * 2.0**32) - 2**31))
+            p = jnp.where(bits >= thresh, p * (1.0 / (1.0 - p_drop)), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(va.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
+def _lane_sa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                        dx3_ref, *, scale, nh, p_drop):
+    qa = q_ref[...]
+    ka = k_ref[...]
+    va = v_ref[...]
+    doa = do_ref[...]
+    g, n, c = qa.shape
+    hd = c // nh
+    m = mask_ref[...]
+    dtype = qa.dtype
+    if p_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    dqs, dks, dvs = [], [], []
+    for h in range(nh):
+        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2)
+        k = jax.lax.slice_in_dim(ka, h * hd, (h + 1) * hd, axis=2)
+        v = jax.lax.slice_in_dim(va, h * hd, (h + 1) * hd, axis=2)
+        do = jax.lax.slice_in_dim(doa, h * hd, (h + 1) * hd, axis=2)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        s = s + m
+        p = jax.nn.softmax(s, axis=-1)                # pre-dropout
+        if p_drop > 0.0:
+            bits = pltpu.prng_random_bits(p.shape)
+            thresh = jnp.int32(min(2**31 - 1,
+                                   int(p_drop * 2.0**32) - 2**31))
+            keep = bits >= thresh
+            pd = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
+        else:
+            pd = p
+        pd_lo = pd.astype(dtype)
+        dv = jax.lax.dot_general(pd_lo, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        if p_drop > 0.0:
+            dp = jnp.where(keep, dpd * (1.0 / (1.0 - p_drop)), 0.0)
+        else:
+            dp = dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_lo = ds.astype(dtype)
+        dq = jax.lax.dot_general(ds_lo, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds_lo, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq.astype(dtype))
+        dks.append(dk.astype(dtype))
+        dvs.append(dv.astype(dtype))
+    dx3_ref[...] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def lane_self_attention(x3: jax.Array, mask: jax.Array, seed: jax.Array,
+                        n_heads: int, scale: float, p_drop: float = 0.0,
+                        interpret: bool = False) -> jax.Array:
+    """BERT self-attention straight off the qkv GEMM output (per-row masks,
+    in-kernel dropout — :func:`packed_self_attention` semantics without the
+    packing transposes).
+
+    Args:
+      x3:   (B, L, 3D), last axis ordered (3, nH, hd); D 128-divisible.
+      mask: (B, L, L) fp32 additive attention bias.
+      seed: (1,) int32 dropout seed (ignored when p_drop == 0).
+    Returns:
+      (B, L, D) in x3.dtype.
+    """
+    return _lane_sa_fwd(x3, mask, seed, n_heads, scale, p_drop,
+                        interpret)[0]
+
+
+def _lane_sa_g(b, n, c, nh, p_drop, backward):
+    # with dropout, fwd and bwd MUST share one block partition: the mask is
+    # regenerated from (seed, program, head order), so a different g would
+    # decorrelate the fwd and bwd dropout masks
+    g = _lane_g(b, n, c, nh, b, backward=True)
+    if p_drop == 0.0 and not backward:
+        g = _lane_g(b, n, c, nh, b, backward=False)
+    return g
+
+
+def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,
+                  backward, do=None):
+    b, n, c3 = x3.shape
+    c = c3 // 3
+    nh = n_heads
+    assert c3 == 3 * c and c % nh == 0
+    g = _lane_sa_g(b, n, c, nh, p_drop, backward)
+    seg = lambda s: pl.BlockSpec((g, n, c), lambda r, s=s: (r, 0, s),
+                                 memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((g, n, n), lambda r: (r, 0, 0),
+                             memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if not backward:
+        return pl.pallas_call(
+            functools.partial(_lane_sa_fwd_kernel, scale=scale, nh=nh,
+                              p_drop=p_drop),
+            grid=(b // g,),
+            in_specs=[seed_spec, seg(0), seg(1), seg(2), mask_spec],
+            out_specs=pl.BlockSpec((g, n, c), lambda r: (r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n, c), x3.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * b * n * n * c,
+                bytes_accessed=4 * b * n * c * x3.dtype.itemsize,
+                transcendentals=b * nh * n * n),
+            interpret=interpret,
+        )(seed, x3, x3, x3, mask)
+    do_spec = pl.BlockSpec((g, n, c), lambda r: (r, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dx3_spec = pl.BlockSpec((g, n, c3), lambda r: (r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lane_sa_bwd_kernel, scale=scale, nh=nh,
+                          p_drop=p_drop),
+        grid=(b // g,),
+        in_specs=[seed_spec, seg(0), seg(1), seg(2), mask_spec, do_spec],
+        out_specs=dx3_spec,
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * n * n * c,
+            bytes_accessed=8 * b * n * c * x3.dtype.itemsize,
+            transcendentals=b * nh * n * n),
+        interpret=interpret,
+    )(seed, x3, x3, x3, mask, do)
+
+
+def _lane_sa_fwd(x3, mask, seed, n_heads, scale, p_drop, interpret):
+    out = _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret,
+                        backward=False)
+    return out, (x3, mask, seed)
+
+
+def _lane_sa_bwd(n_heads, scale, p_drop, interpret, res, do):
+    x3, mask, seed = res
+    dx3 = _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret,
+                        backward=True, do=do)
+    return dx3, jnp.zeros_like(mask), jnp.zeros_like(seed)
+
+
+lane_self_attention.defvjp(_lane_sa_fwd, _lane_sa_bwd)
+
+
 def window_attention_reference(q, k, v, bias, mask, n_windows, scale):
     """Pure-XLA path (also the numerical oracle for the kernel)."""
     b_, nh, n, hd = q.shape

@@ -243,3 +243,146 @@ def test_superwindow_fold_matches_unfolded(monkeypatch):
     out = m_fused.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Lane-sliced kernels (round 3): consume the qkv GEMM output (B_, N, 3C)
+# directly, heads split in-kernel (ops/window_attention.py lane_* entries).
+# ---------------------------------------------------------------------------
+
+
+def _to_x3(q, k, v):
+    """(B_, nH, N, hd) triple -> (B_, N, 3C) qkv-GEMM-output layout
+    (last axis ordered (3, nH, hd))."""
+    b_, nh, n, hd = q.shape
+    flat = lambda a: a.transpose(0, 2, 1, 3).reshape(b_, n, nh * hd)
+    return jnp.concatenate([flat(q), flat(k), flat(v)], axis=-1)
+
+
+@pytest.mark.parametrize("nh,n,hd,nw", [(4, 49, 32, 4), (4, 196, 32, 1),
+                                        (8, 49, 32, 2)])
+def test_lane_kernel_matches_reference(nh, n, hd, nw):
+    from empirical_mvm_tpu.ops.window_attention import lane_window_attention
+    rs = np.random.RandomState(0)
+    b_ = 2 * nw
+    q = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    k = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    v = jnp.asarray(rs.randn(b_, nh, n, hd).astype(np.float32))
+    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
+    mask = np.zeros((nw, n, n), np.float32)
+    mask[::2, : n // 2, n // 2:] = -100.0
+    mask = jnp.asarray(mask)
+    scale = hd ** -0.5
+
+    ref = window_attention_reference(q, k, v, bias, mask, nw, scale)
+    b2, nh2, n2, hd2 = ref.shape
+    ref_flat = ref.transpose(0, 2, 1, 3).reshape(b2, n2, nh2 * hd2)
+    out = lane_window_attention(_to_x3(q, k, v), bias, mask, nw, nh, scale,
+                                True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_flat),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_lane_kernel_vjp_matches_reference_grads():
+    from empirical_mvm_tpu.ops.window_attention import lane_window_attention
+    rs = np.random.RandomState(1)
+    nh, n, hd, nw, b = 4, 49, 32, 4, 2
+    b_ = b * nw
+    c = nh * hd
+    x3 = jnp.asarray(rs.randn(b_, n, 3 * c).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
+    mask = np.zeros((nw, n, n), np.float32)
+    mask[1::2, :10, 10:] = -100.0
+    mask = jnp.asarray(mask)
+    scale = hd ** -0.5
+    tgt = jnp.asarray(rs.randn(b_, n, c).astype(np.float32))
+
+    def loss_lane(x3, bias):
+        o = lane_window_attention(x3, bias, mask, nw, nh, scale, True)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_ref(x3, bias):
+        qkv = x3.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        o = window_attention_reference(qkv[0], qkv[1], qkv[2], bias, mask,
+                                       nw, scale)
+        o = o.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return jnp.sum((o - tgt) ** 2)
+
+    g_l = jax.grad(loss_lane, argnums=(0, 1))(x3, bias)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(x3, bias)
+    for a, b2, name in zip(g_l, g_r, ("x3", "bias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=3e-4, rtol=1e-3, err_msg=name)
+
+
+def test_lane_self_attention_matches_bert_layer(monkeypatch):
+    """BertSelfAttention at a 128-divisible width routes through
+    lane_self_attention; it must match the XLA einsum path (per-row padding
+    masks and the 3D seq2seq mask)."""
+    monkeypatch.setenv("EMVM_PALLAS_INTERPRET", "1")
+    import dataclasses
+
+    from empirical_mvm_tpu.core.config import BertConfig
+    from empirical_mvm_tpu.models.bert import (BertSelfAttention,
+                                               extended_attention_mask)
+
+    cfg = BertConfig(hidden_size=128, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=256)
+    rs = np.random.RandomState(0)
+    b, l = 4, 24
+    x = jnp.asarray(rs.randn(b, l, 128).astype(np.float32))
+    mask01 = np.ones((b, l), np.int32)
+    mask01[1, 17:] = 0
+    mask01[3, 5:] = 0
+    bias = extended_attention_mask(jnp.asarray(mask01))
+
+    ref_mod = BertSelfAttention(cfg, dtype=jnp.float32)
+    params = ref_mod.init(jax.random.PRNGKey(0), x, bias)["params"]
+    ref, _ = ref_mod.apply({"params": params}, x, bias, True)
+
+    pal_mod = BertSelfAttention(
+        dataclasses.replace(cfg, use_pallas_attention=True),
+        dtype=jnp.float32)
+    out, _ = pal_mod.apply({"params": params}, x, bias, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+    m3 = np.tril(np.ones((l, l), np.int32))[None].repeat(b, 0)
+    bias3 = extended_attention_mask(jnp.asarray(m3))
+    ref3, _ = ref_mod.apply({"params": params}, x, bias3, True)
+    out3, _ = pal_mod.apply({"params": params}, x, bias3, True)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_lane_swin_module_matches_xla(monkeypatch):
+    """SwinTransformer3D at 128-divisible widths (the real stages) routes
+    window attention through the lane kernel; outputs and input grads must
+    match the pure-XLA module."""
+    monkeypatch.setenv("EMVM_PALLAS_INTERPRET", "1")
+    import dataclasses
+
+    from empirical_mvm_tpu.core.config import SwinConfig
+    from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
+
+    cfg = SwinConfig(patch_size=(2, 4, 4), embed_dim=128, depths=(2, 2),
+                     num_heads=(4, 8), window_size=(8, 7, 7),
+                     drop_path_rate=0.0, final_norm=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 2, 28, 28, 3),
+                    jnp.float32)
+    m_ref = SwinTransformer3D(config=dataclasses.replace(
+        cfg, use_pallas_attention=False))
+    m_lane = SwinTransformer3D(config=dataclasses.replace(
+        cfg, use_pallas_attention=True))
+    params = m_ref.init(jax.random.PRNGKey(0), x)["params"]
+    ref = m_ref.apply({"params": params}, x)
+    out = m_lane.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+    g_ref = jax.grad(lambda xx: jnp.sum(
+        m_ref.apply({"params": params}, xx) ** 2))(x)
+    g_out = jax.grad(lambda xx: jnp.sum(
+        m_lane.apply({"params": params}, xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               atol=3e-3, rtol=1e-2)
