@@ -149,12 +149,22 @@ def measure(mvm_target: str):
     for _ in range(n_warm):
         state, ls = step(state, batch, rng)
     jax.block_until_ready(ls)
-    t0 = time.perf_counter()
-    for _ in range(n_meas):
-        state, ls = step(state, batch, rng)
-    jax.block_until_ready(ls)
-    dt = time.perf_counter() - t0
-    return batch_size * n_meas / dt
+    # the flagship step costs >=17.6 TFLOP at batch 16 and the chip tops out
+    # at 138 bf16 TFLOP/s, so >200 clips/s/chip is physically impossible —
+    # observed once when a parent bench process still held the tunnel and
+    # the child's timed loop returned without real execution (764 "clips/s")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_meas):
+            state, ls = step(state, batch, rng)
+        jax.block_until_ready(ls)
+        dt = time.perf_counter() - t0
+        rate = batch_size * n_meas / dt
+        if rate <= 200.0:
+            return rate
+        time.sleep(10)
+    raise RuntimeError(f"implausible rate {rate:.1f} clips/s for "
+                       f"{mvm_target}; refusing to report it")
 
 
 def main():

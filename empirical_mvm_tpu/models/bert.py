@@ -113,12 +113,12 @@ class BertSelfAttention(nn.Module):
             # packed kernel; probs (62MB/layer/pass at pretrain VTM shapes)
             # never leave VMEM and dropout rides the on-core PRNG
             from empirical_mvm_tpu.ops.window_attention import (
-                lane_attention_fits, lane_self_attention,
+                lane_sa_attention_fits, lane_self_attention,
                 packed_self_attention)
             w3 = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             b3 = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
             qkv = x @ w3 + b3                          # (B, L, 3D)
-            use_lane = (lane_attention_fits(b, l, d, nh, 1)
+            use_lane = (lane_sa_attention_fits(b, l, d, nh)
                         and not _os.environ.get("EMVM_PACKED_ATTN"))
             if not use_lane:
                 qkv = qkv.reshape(b, l, 3 * nh, hd).transpose(0, 2, 1, 3)

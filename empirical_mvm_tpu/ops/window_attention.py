@@ -608,15 +608,18 @@ packed_self_attention.defvjp(_psa_fwd, _psa_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _lane_bytes(g, n, c, nh, backward):
+def _lane_bytes(g, n, c, nh, backward, with_bias=True):
     """Per-program VMEM estimate. Grid-streamed blocks (non-constant index
     maps) are DOUBLE-buffered by the pipeline; the bias (and dbias
     accumulator) have constant indices and stay single. The unrolled head
-    loop keeps all nh per-head outputs live until the final lane concat."""
+    loop keeps all nh per-head outputs live until the final lane concat.
+    ``with_bias=False`` is the self-attention variant (no rel-pos bias;
+    the per-row mask is already counted in ``maskb``)."""
     inb = (4 if backward else 3) * g * n * c * 2 * 2      # bf16, x2 dbuf
     outb = g * n * (3 * c if backward else c) * 2 * 2     # x2 dbuf
     maskb = g * n * n * 4 * 2                             # streamed, x2
-    biasb = nh * n * n * 4 * (2 if backward else 1)       # resident
+    biasb = (nh * n * n * 4 * (2 if backward else 1)      # resident
+             if with_bias else 0)
     temps = (4 if backward else 2) * g * n * n * 4        # live f32 (N, N)
     acc = (3 if backward else 1) * g * n * c * 2          # per-head outputs
     return inb + outb + maskb + biasb + temps + acc
@@ -632,6 +635,18 @@ def lane_attention_fits(b_, n, c, nh, n_windows) -> bool:
     not, and routes to the packed path instead."""
     return (c % 128 == 0
             and _lane_bytes(1, n, c, nh, backward=True) <= _lane_budget())
+
+
+def lane_sa_attention_fits(b, n, c, nh) -> bool:
+    """Fit check for :func:`lane_self_attention` (no rel-pos bias — the
+    per-row mask streams with the grid, so the resident-bias term that
+    rules out wide-``nh`` window shapes doesn't apply). Round-3 fix: the
+    original check reused the biased estimate and silently kept BERT
+    (nh=12, L=232) on the packed path, leaving ~8 ms/step of packing
+    transposes alive."""
+    return (c % 128 == 0
+            and _lane_bytes(1, n, c, nh, backward=True,
+                            with_bias=False) <= _lane_budget())
 
 
 def _lane_g(b_, n, c, nh, n_windows, backward):
@@ -916,10 +931,18 @@ def _lane_sa_g(b, n, c, nh, p_drop, backward):
     # with dropout, fwd and bwd MUST share one block partition: the mask is
     # regenerated from (seed, program, head order), so a different g would
     # decorrelate the fwd and bwd dropout masks
-    g = _lane_g(b, n, c, nh, b, backward=True)
+    budget = _lane_budget()
+
+    def best(bwd):
+        g = b
+        while g > 1 and (b % g or _lane_bytes(
+                g, n, c, nh, bwd, with_bias=False) > budget):
+            g -= 1
+        return max(g, 1)
+
     if p_drop == 0.0 and not backward:
-        g = _lane_g(b, n, c, nh, b, backward=False)
-    return g
+        return best(False)
+    return best(True)
 
 
 def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,

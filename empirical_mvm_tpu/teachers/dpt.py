@@ -57,13 +57,23 @@ class ViTBlock(nn.Module):
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(y)
         if fused:
             from empirical_mvm_tpu.ops.window_attention import (
+                lane_sa_attention_fits, lane_self_attention,
                 packed_self_attention)
-            qkv = qkv.reshape(b, l, 3 * nh, hd).transpose(0, 2, 1, 3)
-            ctx = packed_self_attention(
-                qkv, jnp.zeros((b, l, l), jnp.float32),
-                jnp.zeros((1,), jnp.int32), nh, float(hd ** -0.5), 0.0,
-                not on_tpu)
-            ctx = ctx.astype(self.dtype)
+            if lane_sa_attention_fits(b, l, self.dim, nh):
+                # round 3: lane-sliced kernel off the raw qkv GEMM output —
+                # (B, L, D) in and out, no packing transposes (ViT-L dim
+                # 1024 is 128-divisible)
+                ctx = lane_self_attention(
+                    qkv, jnp.zeros((b, l, l), jnp.float32),
+                    jnp.zeros((1,), jnp.int32), nh, float(hd ** -0.5), 0.0,
+                    not on_tpu).astype(self.dtype)
+            else:
+                qkv = qkv.reshape(b, l, 3 * nh, hd).transpose(0, 2, 1, 3)
+                ctx = packed_self_attention(
+                    qkv, jnp.zeros((b, l, l), jnp.float32),
+                    jnp.zeros((1,), jnp.int32), nh, float(hd ** -0.5), 0.0,
+                    not on_tpu)
+                ctx = ctx.astype(self.dtype)
         else:
             qkv = qkv.reshape(b, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]
@@ -73,7 +83,8 @@ class ViTBlock(nn.Module):
             ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                              preferred_element_type=jnp.float32
                              ).astype(self.dtype)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+        if ctx.ndim == 4:                     # packed/XLA path (B, nH, L, hd)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="proj")(ctx)
         y = layer_norm(1e-6, self.dtype, "norm2", fused or None)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
