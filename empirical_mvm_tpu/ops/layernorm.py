@@ -220,16 +220,40 @@ def layer_norm(epsilon: float, dtype, name: str,
                use_pallas: bool | None = None):
     """LayerNorm factory for the hot paths.
 
-    ``use_pallas=None`` (default) means flax ``nn.LayerNorm`` unless
-    EMVM_PALLAS_LN=1: the round-3 A/B measured the kernel as a net LOSS on
-    the TRAINED flagship step (56.6 -> 55.1 clips/s; the custom-VJP boundary
-    suppresses XLA fusions worth more than the kernel saves; the fp32-oracle
-    XLA LN was 55.7). Param trees are identical either way.
+    ``use_pallas=None`` (default) means :class:`FusedLayerNorm` unless
+    EMVM_NO_PALLAS_LN=1. History: the early-round-3 A/B measured the kernel
+    as a net LOSS on the trained flagship step (56.6 -> 55.1 clips/s — the
+    custom-VJP boundary suppressed XLA fusions worth more than the kernel
+    saved), and the default was flax ``nn.LayerNorm``. After the lane-sliced
+    attention kernels landed the result INVERTED (pixel 66.4 -> 67.7,
+    2d_feature flat): the lane kernels already break those fusion chains, so
+    the LN kernel's stat-reduce win is pure profit now. Param trees are
+    identical either way; the fused path computes stats in fp32.
 
-    ``use_pallas=True`` forces :class:`FusedLayerNorm` — correct for FROZEN
-    teacher swins, whose fwd-only LN stats cost ~23ms/step in XLA reduce
-    fusions and have no backward to fuse (SwinConfig.use_pallas_layernorm).
+    ``use_pallas=True`` forces the kernel unconditionally — used by FROZEN
+    teacher swins (SwinConfig.use_pallas_layernorm), whose fwd-only LN stats
+    cost ~23ms/step in XLA reduce fusions and have no backward to fuse.
+
+    EMVM_FLAT_LN=1 is a measurement probe (flatten >2D inputs around flax
+    LN; measured noise-level both ways, not a default).
     """
-    if use_pallas or (use_pallas is None and _os.environ.get("EMVM_PALLAS_LN")):
+    if use_pallas or (use_pallas is None
+                      and not _os.environ.get("EMVM_NO_PALLAS_LN")):
         return FusedLayerNorm(epsilon=epsilon, dtype=dtype, name=name)
+    if use_pallas is None and _os.environ.get("EMVM_FLAT_LN"):
+        return _FlatLayerNorm(epsilon=epsilon, dtype=dtype, name=name)
     return nn.LayerNorm(epsilon=epsilon, dtype=dtype, name=name)
+
+
+class _FlatLayerNorm(nn.LayerNorm):
+    """nn.LayerNorm that flattens >2D inputs to (N, C) around the call —
+    an A/B probe (EMVM_FLAT_LN=1) for whether XLA tiles the stat reduces
+    better on 2D shapes than on small-spatial 5D swin shapes. Identical
+    params and numerics to nn.LayerNorm."""
+
+    def __call__(self, x):
+        if x.ndim > 2:
+            shp = x.shape
+            return super().__call__(
+                x.reshape(-1, shp[-1])).reshape(shp)
+        return super().__call__(x)

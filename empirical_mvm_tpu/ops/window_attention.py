@@ -608,20 +608,23 @@ packed_self_attention.defvjp(_psa_fwd, _psa_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _lane_bytes(g, n, c, nh, backward, with_bias=True):
+def _lane_bytes(g, n, c, nh, backward, with_bias=True, itemsize=2):
     """Per-program VMEM estimate. Grid-streamed blocks (non-constant index
     maps) are DOUBLE-buffered by the pipeline; the bias (and dbias
     accumulator) have constant indices and stay single. The unrolled head
     loop keeps all nh per-head outputs live until the final lane concat.
     ``with_bias=False`` is the self-attention variant (no rel-pos bias;
-    the per-row mask is already counted in ``maskb``)."""
-    inb = (4 if backward else 3) * g * n * c * 2 * 2      # bf16, x2 dbuf
-    outb = g * n * (3 * c if backward else c) * 2 * 2     # x2 dbuf
-    maskb = g * n * n * 4 * 2                             # streamed, x2
-    biasb = (nh * n * n * 4 * (2 if backward else 1)      # resident
+    the per-row mask is already counted in ``maskb``). ``itemsize`` is the
+    x3/do element size (2 for the bf16 production path; f32 callers — e.g.
+    the on-chip parity tests — need 4 or the chosen g overflows scoped
+    VMEM, caught live as a 16.19M>16M Mosaic stack OOM on (4,232,2304))."""
+    inb = (4 if backward else 3) * g * n * c * itemsize * 2   # x2 dbuf
+    outb = g * n * (3 * c if backward else c) * itemsize * 2  # x2 dbuf
+    maskb = g * n * n * 4 * 2                             # streamed f32, x2
+    biasb = (nh * n * n * 4 * (2 if backward else 1)      # resident f32
              if with_bias else 0)
     temps = (4 if backward else 2) * g * n * n * 4        # live f32 (N, N)
-    acc = (3 if backward else 1) * g * n * c * 2          # per-head outputs
+    acc = (3 if backward else 1) * g * n * c * itemsize   # per-head outputs
     return inb + outb + maskb + biasb + temps + acc
 
 
@@ -649,14 +652,15 @@ def lane_sa_attention_fits(b, n, c, nh) -> bool:
                             with_bias=False) <= _lane_budget())
 
 
-def _lane_g(b_, n, c, nh, n_windows, backward):
+def _lane_g(b_, n, c, nh, n_windows, backward, itemsize=2):
     """Largest window-group size g (dividing B_ and the mask period) whose
     per-program VMEM footprint fits the budget."""
     budget = _lane_budget()
     gdom = n_windows if n_windows > 1 else b_
     g = gdom
     while g > 1 and (gdom % g or b_ % g
-                     or _lane_bytes(g, n, c, nh, backward) > budget):
+                     or _lane_bytes(g, n, c, nh, backward,
+                                    itemsize=itemsize) > budget):
         g -= 1
     return max(g, 1)
 
@@ -774,7 +778,8 @@ def _lane_fwd(x3, bias, mask, n_windows, n_heads, scale, interpret):
     nh = n_heads
     bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    g = _lane_g(b_, n, c, nh, n_windows, backward=False)
+    g = _lane_g(b_, n, c, nh, n_windows, backward=False,
+                itemsize=x3.dtype.itemsize)
     seg, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
     out = pl.pallas_call(
         functools.partial(_lane_fwd_kernel, scale=scale, nh=nh),
@@ -798,7 +803,8 @@ def _lane_bwd(n_windows, n_heads, scale, interpret, res, do):
     nh = n_heads
     bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    g = _lane_g(b_, n, c, nh, n_windows, backward=True)
+    g = _lane_g(b_, n, c, nh, n_windows, backward=True,
+                itemsize=x3.dtype.itemsize)
     seg, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
     dx3_spec = pl.BlockSpec((g, n, c3), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -927,7 +933,7 @@ def lane_self_attention(x3: jax.Array, mask: jax.Array, seed: jax.Array,
                         interpret)[0]
 
 
-def _lane_sa_g(b, n, c, nh, p_drop, backward):
+def _lane_sa_g(b, n, c, nh, p_drop, backward, itemsize=2):
     # with dropout, fwd and bwd MUST share one block partition: the mask is
     # regenerated from (seed, program, head order), so a different g would
     # decorrelate the fwd and bwd dropout masks
@@ -936,7 +942,8 @@ def _lane_sa_g(b, n, c, nh, p_drop, backward):
     def best(bwd):
         g = b
         while g > 1 and (b % g or _lane_bytes(
-                g, n, c, nh, bwd, with_bias=False) > budget):
+                g, n, c, nh, bwd, with_bias=False,
+                itemsize=itemsize) > budget):
             g -= 1
         return max(g, 1)
 
@@ -951,7 +958,8 @@ def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,
     c = c3 // 3
     nh = n_heads
     assert c3 == 3 * c and c % nh == 0
-    g = _lane_sa_g(b, n, c, nh, p_drop, backward)
+    g = _lane_sa_g(b, n, c, nh, p_drop, backward,
+                   itemsize=x3.dtype.itemsize)
     seg = lambda s: pl.BlockSpec((g, n, c), lambda r, s=s: (r, 0, s),
                                  memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((g, n, n), lambda r: (r, 0, 0),
