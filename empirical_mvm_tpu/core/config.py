@@ -43,12 +43,16 @@ class SwinConfig:
                             # model auto-falls back to the XLA einsum path
                             # off-TPU (set EMVM_PALLAS_INTERPRET=1 to force
                             # the kernel in interpret mode for tests)
-    use_pallas_layernorm: bool = False  # Pallas LN. Keep False for TRAINED
-                            # swins (measured net loss on the train step —
-                            # the custom-VJP boundary suppresses XLA fusions,
-                            # BENCH_LOCAL_r3.txt); set True for FROZEN
-                            # teacher swins, where the fwd-only LN stats
-                            # cost ~23ms/step in reduce fusions
+    use_pallas_layernorm: bool | None = False  # Pallas LN: False (default)
+                            # keeps flax nn.LayerNorm for TRAINED swins —
+                            # REMEASURED post-lane-kernels and still a net
+                            # loss (pixel 67.7 -> 64.6, 2d 56.3 -> 54.8:
+                            # the 5D small-spatial swin LN custom-VJP
+                            # boundary suppresses roll/residual fusions the
+                            # BERT-side kernel LN win doesn't touch,
+                            # BENCH_LOCAL_r3.txt). True forces the kernel
+                            # (frozen teacher swins, fwd-only); None follows
+                            # the package default (kernel on TPU)
     final_norm: bool = True  # HF 2D Swin hidden_states[-1] is pre-norm
     scan: bool = False      # nn.scan over (no-shift, shift) block pairs in
                             # even-depth stages >=4: ~depth/2-fold smaller

@@ -395,7 +395,7 @@ class SwinTransformerBlock3D(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     use_pallas: bool = False
-    use_pallas_ln: bool = False
+    use_pallas_ln: bool | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -459,7 +459,7 @@ class PatchMerging(nn.Module):
     """2x2 spatial merge between stages (ref: visbackbone/video_swin.py:266-289)."""
 
     dim: int
-    use_pallas_ln: bool = False
+    use_pallas_ln: bool | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -544,7 +544,7 @@ class BasicLayer(nn.Module):
     downsample: bool = False
     remat: bool = False
     use_pallas: bool = False
-    use_pallas_ln: bool = False
+    use_pallas_ln: bool | None = None
     scan: bool = False
     dtype: jnp.dtype = jnp.float32
 

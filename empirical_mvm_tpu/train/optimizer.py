@@ -50,6 +50,28 @@ def warmup_linear_schedule(base_lr: float, max_iter: int,
     return schedule
 
 
+# Frozen-teacher modules, always excluded from updates. The reference runs
+# its MVM teachers under ``model.eval()`` + ``torch.no_grad()``
+# (ref: main_pretrain.py:515-545), so their params reach torch AdamW with
+# ``grad is None`` and are SKIPPED outright — no moment state, no decoupled
+# weight decay. Without the equivalent label here, optax.adamw would carry
+# (mu, nu) for the 88M-param feature teacher (~700MB HBM + ~11ms/step of
+# moment updates, round-3 profile) and its weight decay would silently
+# shrink the frozen teacher in place every step.
+TEACHER_PREFIXES = ("feature_model", "dpt", "raft", "dvae")
+
+
+def _is_frozen(name: str, freeze_prefixes: tuple[str, ...]) -> bool:
+    for pre in freeze_prefixes:         # user prefixes: path-prefix match
+        if name == pre or name.startswith(pre + "."):
+            return True
+    for mod in TEACHER_PREFIXES:        # teacher modules: any tree position
+        if name == mod or name.startswith(mod + ".") or (
+                "." + mod + ".") in name:
+            return True
+    return False
+
+
 def default_group_fn(path: tuple[str, ...]) -> str:
     """Reference grouping (ref: agent.py:86-95): substring 'bias' or a
     LayerNorm parameter -> no decay; 'swin' in the path -> backbone group.
@@ -91,9 +113,8 @@ def build_optimizer(
 
     def label_one(path: tuple[str, ...]) -> str:
         name = ".".join(path)
-        for pre in freeze_prefixes:
-            if name == pre or name.startswith(pre + "."):
-                return "frozen"
+        if _is_frozen(name, freeze_prefixes):
+            return "frozen"
         return group_fn(path)
 
     def labels(tree):
@@ -158,9 +179,8 @@ def build_flat_optimizer(
 
     def label_one(path: tuple[str, ...]) -> str:
         name = ".".join(path)
-        for pre in freeze_prefixes:
-            if name == pre or name.startswith(pre + "."):
-                return "frozen"
+        if _is_frozen(name, freeze_prefixes):
+            return "frozen"
         return group_fn(path)
 
     # static per-element group vectors, built once on host

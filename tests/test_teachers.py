@@ -277,3 +277,86 @@ def test_separable_corr_lookup_matches_bilinear_oracle():
     ref = jnp.concatenate(refs, axis=-1).reshape(b, h, w, -1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_dpt_importer_consumes_real_checkpoint_layout():
+    """Drive dpt_params_from_torch over a state_dict with the EXACT key
+    inventory and shapes of the released MiDaS ``dpt_large-midas-2f21e586.pt``
+    (DPTDepthModel(backbone="vitl16_384"), ref: main_pretrain.py:190) —
+    including the keys the importer must IGNORE (timm's final ViT norm, the
+    flex-style act_postprocess Identity slots don't emit params). The
+    parity test above builds its state_dict through a timm STUB, so stub/
+    real naming drift would slip past it; this pins the canonical layout.
+    Zero-filled arrays: this checks key coverage + shape mapping, not math.
+    """
+    import numpy as np
+
+    d, depth, mlp, grid = 1024, 24, 4096, 24
+    feats = [256, 512, 1024, 1024]      # act_postprocess out channels
+    sd = {}
+
+    def add(k, *shape):
+        sd[k] = np.zeros(shape, np.float32)
+
+    p = "pretrained.model"
+    add(f"{p}.cls_token", 1, 1, d)
+    add(f"{p}.pos_embed", 1, 1 + grid * grid, d)
+    add(f"{p}.patch_embed.proj.weight", d, 3, 16, 16)
+    add(f"{p}.patch_embed.proj.bias", d)
+    for i in range(depth):
+        b = f"{p}.blocks.{i}"
+        add(f"{b}.norm1.weight", d); add(f"{b}.norm1.bias", d)
+        add(f"{b}.attn.qkv.weight", 3 * d, d); add(f"{b}.attn.qkv.bias", 3 * d)
+        add(f"{b}.attn.proj.weight", d, d); add(f"{b}.attn.proj.bias", d)
+        add(f"{b}.norm2.weight", d); add(f"{b}.norm2.bias", d)
+        add(f"{b}.mlp.fc1.weight", mlp, d); add(f"{b}.mlp.fc1.bias", mlp)
+        add(f"{b}.mlp.fc2.weight", d, mlp); add(f"{b}.mlp.fc2.bias", d)
+    # timm's final norm: present in the checkpoint, unused by DPT's hooks
+    add(f"{p}.norm.weight", d); add(f"{p}.norm.bias", d)
+    for li, f in zip(range(1, 5), feats):
+        ap = f"pretrained.act_postprocess{li}"
+        add(f"{ap}.0.project.0.weight", d, 2 * d)
+        add(f"{ap}.0.project.0.bias", d)
+        add(f"{ap}.3.weight", f, d, 1, 1); add(f"{ap}.3.bias", f)
+        if li == 1:   # ConvTranspose2d(256, 256, 4, 4): (in, out, kh, kw)
+            add(f"{ap}.4.weight", f, f, 4, 4); add(f"{ap}.4.bias", f)
+        elif li == 2:  # ConvTranspose2d(512, 512, 2, 2)
+            add(f"{ap}.4.weight", f, f, 2, 2); add(f"{ap}.4.bias", f)
+        elif li == 4:  # Conv2d stride-2 downsample
+            add(f"{ap}.4.weight", f, f, 3, 3); add(f"{ap}.4.bias", f)
+        add(f"scratch.layer{li}_rn.weight", 256, f, 3, 3)
+    for ri in range(1, 5):
+        rp = f"scratch.refinenet{ri}"
+        for unit in ("resConfUnit1", "resConfUnit2"):
+            add(f"{rp}.{unit}.conv1.weight", 256, 256, 3, 3)
+            add(f"{rp}.{unit}.conv1.bias", 256)
+            add(f"{rp}.{unit}.conv2.weight", 256, 256, 3, 3)
+            add(f"{rp}.{unit}.conv2.bias", 256)
+        add(f"{rp}.out_conv.weight", 256, 256, 1, 1)
+        add(f"{rp}.out_conv.bias", 256)
+    add("scratch.output_conv.0.weight", 128, 256, 3, 3)
+    add("scratch.output_conv.0.bias", 128)
+    add("scratch.output_conv.2.weight", 32, 128, 3, 3)
+    add("scratch.output_conv.2.bias", 32)
+    add("scratch.output_conv.4.weight", 1, 32, 1, 1)
+    add("scratch.output_conv.4.bias", 1)
+
+    from empirical_mvm_tpu.teachers.dpt import DPTDepth, dpt_params_from_torch
+    params = dpt_params_from_torch(sd)
+
+    # every imported leaf must land on the flax tree with a matching shape
+    model = DPTDepth()
+    ref_shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 224, 224, 3)))["params"])
+    flat_got = {".".join(map(str, k)): v.shape for k, v in
+                jax.tree_util.tree_flatten_with_path(params)[0]
+                for k in [tuple(p.key for p in k)]}
+    flat_ref = {".".join(map(str, k)): v.shape for k, v in
+                jax.tree_util.tree_flatten_with_path(ref_shapes)[0]
+                for k in [tuple(p.key for p in k)]}
+    assert set(flat_got) == set(flat_ref), (
+        sorted(set(flat_got) ^ set(flat_ref))[:10])
+    for k in flat_ref:
+        assert tuple(flat_got[k]) == tuple(flat_ref[k]), (
+            k, flat_got[k], flat_ref[k])

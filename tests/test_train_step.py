@@ -301,3 +301,65 @@ def test_device_batch_keeps_bool_corrupt_flag():
     out = AgentBase._device_batch(None, batch)
     assert "corrupt" in out and out["corrupt"].dtype == np.bool_
     assert "vid" not in out
+
+
+def test_frozen_teacher_params_skipped_by_optimizer():
+    """MVM teacher modules must be excluded from AdamW entirely — the
+    reference runs them under eval() + torch.no_grad() (ref:
+    main_pretrain.py:515-545), so torch's AdamW sees grad=None and skips
+    them: no moment state and, crucially, no decoupled weight decay. A
+    labeling miss here silently DECAYS the frozen teacher every step (zero
+    grads don't protect against optax.adamw's weight_decay term) and was
+    worth ~11 ms/step of moment updates for the 88M-param 2d_feature
+    teacher (round-3 profile)."""
+    import optax
+
+    from empirical_mvm_tpu.train.optimizer import (build_flat_optimizer,
+                                                   build_optimizer)
+
+    rs = np.random.RandomState(0)
+    params = {
+        "feature_model": {"layers_0": {"kernel": rs.randn(4, 4).astype(np.float32)}},
+        "dpt": {"proj": {"kernel": rs.randn(4, 4).astype(np.float32)}},
+        "fc_mvm": {"kernel": rs.randn(4, 4).astype(np.float32),
+                   "bias": np.zeros(4, np.float32)},
+    }
+    params = jax.tree.map(jnp.asarray, params)
+    # zero grads everywhere: exactly what stop_gradient produces for the
+    # teachers; any param motion can only come from weight decay
+    grads = jax.tree.map(jnp.zeros_like, params)
+
+    for build in (build_optimizer, build_flat_optimizer):
+        tx = build(params, lr=1e-2, max_iter=10, weight_decay=0.5,
+                   warmup_ratio=0.0)
+        state = tx.init(params)
+        new_params = params
+        for _ in range(3):
+            updates, state = tx.update(grads, state, new_params)
+            new_params = optax.apply_updates(new_params, updates)
+        name = build.__name__
+        np.testing.assert_array_equal(
+            np.asarray(new_params["feature_model"]["layers_0"]["kernel"]),
+            np.asarray(params["feature_model"]["layers_0"]["kernel"]),
+            err_msg=f"{name}: frozen teacher decayed")
+        np.testing.assert_array_equal(
+            np.asarray(new_params["dpt"]["proj"]["kernel"]),
+            np.asarray(params["dpt"]["proj"]["kernel"]),
+            err_msg=f"{name}: frozen teacher decayed")
+        # the TRAINED head must still feel weight decay
+        assert not np.allclose(
+            np.asarray(new_params["fc_mvm"]["kernel"]),
+            np.asarray(params["fc_mvm"]["kernel"])), name
+
+    # multi_transform must hold NO adam moments for the frozen teachers
+    tx = build_optimizer(params, lr=1e-2, max_iter=10)
+    state = tx.init(params)
+    leaves = jax.tree.leaves(state)
+    n_param_elems = sum(np.size(l) for l in jax.tree.leaves(params))
+    n_state_elems = sum(np.size(l) for l in leaves)
+    n_trained = sum(np.size(l) for k in ("fc_mvm",)
+                    for l in jax.tree.leaves(params[k]))
+    # mu + nu for trained params only, plus scalar counts
+    assert n_state_elems <= 2 * n_trained + 64, (
+        f"optimizer holds state for frozen params: {n_state_elems} elems "
+        f"vs {n_param_elems} params, {n_trained} trained")

@@ -112,20 +112,37 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--targets", default=",".join(ALL_TARGETS))
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--_single", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     sizes = tuple(b for b in (args.batch, 8, 4) if b <= args.batch)
+    targets = args.targets.split(",")
 
+    if args._single:
+        r = measure(targets[0], sizes)
+        print(json.dumps({targets[0]: None if r is None else
+                          {"clips_per_sec": round(r[0], 2), "batch": r[1]}}))
+        return
+
+    # one SUBPROCESS per target: a second large train-step program in the
+    # same process reads wildly wrong (e.g. 3d_feature at 778 clips/s after
+    # a 2d_feature run — measured round 3; donated-buffer reuse across
+    # program builds corrupts the timing), matching bench.py's isolation
+    import subprocess
     out = {}
-    for tgt in args.targets.split(","):
-        r = measure(tgt, sizes)
-        if r is None:
+    for tgt in targets:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--targets", tgt,
+             "--batch", str(args.batch), "--_single"],
+            capture_output=True, text=True, timeout=3600)
+        sys.stderr.write(p.stderr)
+        try:
+            out.update(json.loads(p.stdout.strip().splitlines()[-1]))
+        except Exception:
             out[tgt] = None
-            print(f"{tgt:13s} FAILED", file=sys.stderr)
-        else:
-            cps, bs = r
-            out[tgt] = {"clips_per_sec": round(cps, 2), "batch": bs}
-            print(f"{tgt:13s} {cps:7.2f} clips/s (batch {bs})",
-                  file=sys.stderr)
+        r = out.get(tgt)
+        print(f"{tgt:13s} " + (f"{r['clips_per_sec']:7.2f} clips/s "
+                               f"(batch {r['batch']})" if r else "FAILED"),
+              file=sys.stderr)
     print(json.dumps({"metric": "mvm_sweep_clips_per_sec", **out}))
 
 
