@@ -169,6 +169,102 @@ def _fln_bwd(eps, interpret, res, dy):
 fused_layer_norm.defvjp(_fln_fwd, _fln_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Dot-stats LayerNorm: pure-jnp custom-VJP with MXU row sums (round 3e).
+#
+# The round-3 profile shows the TRAINED student swin's flax-LN stats costing
+# ~20 ms/step (convert_reduce 13 ms + multiply_reduce 6.8 ms) — XLA's
+# lane-dim (minor-axis) reductions on small-spatial 5D shapes run ~25x off
+# memory bandwidth (1.65 ms to reduce a 51 MB stage-0 block). The Pallas LN
+# kernel fixes the reduce but is an opaque custom call, and its custom-VJP
+# boundary suppressed neighboring XLA fusions worth more than it saved on
+# trained swins (pixel 67.7 -> 64.6, BENCH_LOCAL_r3.txt).
+#
+# This variant keeps everything as ordinary jnp ops — fully fusable by XLA —
+# but expresses every LANE-dim row sum as a dot with a ones vector, which XLA
+# lowers onto the MXU (a (M,C)x(C,1) GEMM is ~free at these shapes). The
+# custom VJP exists only to force the SAME dot trick in the backward pass
+# (autodiff of broadcast-mean would reintroduce the slow lane reduces).
+# Variance uses the fast form E[x^2]-E[x]^2 — exactly what flax
+# nn.LayerNorm(use_fast_variance=True), the layer it replaces, computes.
+#
+# VERDICT: measured NET LOSS on the flagship step both ways (fp32-upcast
+# dots 67.4 -> 51.4 clips/s, bf16 dots 67.4 -> 61.0) — kept as an opt-in
+# probe (EMVM_DOT_LN=1), not a default. See layer_norm() below.
+# ---------------------------------------------------------------------------
+
+
+def _row_sum_dot(v: jax.Array) -> jax.Array:
+    """Sum over the last (lane) axis as an MXU dot: (..., C) -> (..., 1).
+
+    The dot runs in ``v.dtype`` (bf16 on the hot path — native MXU operands)
+    with fp32 accumulation via ``preferred_element_type``. An earlier variant
+    upcast the operand to fp32 first; the materialized converts cost far more
+    than the reduce they replaced (pixel 67.4 -> 51.4 clips/s)."""
+    ones = jnp.ones((v.shape[-1], 1), v.dtype)
+    return jax.lax.dot_general(
+        v, ones, (((v.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _dot_ln_stats(x: jax.Array, c: int, eps: float):
+    """fp32 (mean, rstd) with bf16-operand MXU row sums. The x*x square is
+    computed in x.dtype — for bf16 that adds ~2^-9 relative noise to the
+    variance, below the output's own bf16 quantization (and the parity tests
+    run f32, where this is exact)."""
+    mean = _row_sum_dot(x) / c
+    var = _row_sum_dot(x * x) / c - mean * mean
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def dot_layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                   eps: float = 1e-5, dtype=jnp.float32) -> jax.Array:
+    """LayerNorm over the last axis with dot-based (MXU) row statistics.
+
+    Numerics: stats in fp32 (fast-variance form, matching flax), normalized
+    output cast to ``dtype`` then scaled/shifted in ``dtype`` — the same
+    cast structure as ``nn.LayerNorm(dtype=dtype)``.
+    """
+    return _dot_ln_fwd(x, gamma, beta, eps, dtype)[0]
+
+
+def _dot_ln_fwd(x, gamma, beta, eps, dtype):
+    mean, rstd = _dot_ln_stats(x, x.shape[-1], eps)
+    y = ((x - mean.astype(x.dtype)) * rstd.astype(x.dtype)).astype(dtype)
+    out = y * gamma.astype(dtype) + beta.astype(dtype)
+    return out, (x, gamma)
+
+
+def _dot_ln_bwd(eps, dtype, res, dy):
+    x, gamma = res
+    c = x.shape[-1]
+    mean, rstd = _dot_ln_stats(x, c, eps)           # recompute (cheap dots)
+    xhat = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+    dxhat = dy.astype(x.dtype) * gamma.astype(x.dtype)
+    m1 = _row_sum_dot(dxhat) / c
+    m2 = _row_sum_dot(dxhat * xhat) / c
+    dx = (rstd.astype(x.dtype)
+          * (dxhat - m1.astype(x.dtype) - xhat * m2.astype(x.dtype))
+          ).astype(x.dtype)
+    # param grads contract the MAJOR (row) axes — also MXU dots, fp32-
+    # accumulated (a bf16 jnp.sum over ~2e5 rows would lose param-grad
+    # precision; an fp32 upcast would materialize the converts again)
+    m = int(np.prod(x.shape[:-1]))
+    ones_m = jnp.ones((m,), x.dtype)
+    dg2 = (dy.astype(x.dtype) * xhat).reshape(m, c)
+    dgamma = jax.lax.dot_general(
+        ones_m, dg2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(gamma.dtype)
+    dbeta = jax.lax.dot_general(
+        ones_m, dy.astype(x.dtype).reshape(m, c), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(gamma.dtype)
+    return dx, dgamma, dbeta
+
+
+dot_layer_norm.defvjp(_dot_ln_fwd, _dot_ln_bwd)
+
+
 def layer_norm_reference(x, gamma, beta, eps):
     """Pure-XLA fp32 oracle matching the kernel's numerics."""
     xf = x.astype(jnp.float32)
@@ -216,6 +312,23 @@ class FusedLayerNorm(nn.Module):
         return layer_norm_reference(x, scale, bias, float(self.epsilon))
 
 
+class DotLayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm`` using :func:`dot_layer_norm` (MXU row
+    sums, fully XLA-fusable — no custom-call boundary). Same ``scale``/
+    ``bias`` param tree."""
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return dot_layer_norm(x, scale, bias, float(self.epsilon),
+                              self.dtype)
+
+
 def layer_norm(epsilon: float, dtype, name: str,
                use_pallas: bool | None = None):
     """LayerNorm factory for the hot paths.
@@ -242,6 +355,16 @@ def layer_norm(epsilon: float, dtype, name: str,
         return FusedLayerNorm(epsilon=epsilon, dtype=dtype, name=name)
     if use_pallas is None and _os.environ.get("EMVM_FLAT_LN"):
         return _FlatLayerNorm(epsilon=epsilon, dtype=dtype, name=name)
+    # use_pallas=False (trained swins): MEASURED NEGATIVE RESULT (round 3e) —
+    # expressing the LN row stats as MXU dots (DotLayerNorm) to attack the
+    # ~20 ms/step of 25x-off-bandwidth convert/multiply reduce fusions LOSES
+    # on the flagship step: fp32-upcast dots 67.4 -> 51.4 clips/s (the
+    # materialized converts dwarf the reduce win), bf16-operand dots with
+    # fp32 accumulation 67.4 -> 61.0 (XLA lowers the (M,C)x(C,1) one-lane
+    # dots poorly and the custom-VJP costs fusion). flax nn.LayerNorm stays
+    # the default; EMVM_DOT_LN=1 opts the dot variant in for experiments.
+    if _os.environ.get("EMVM_DOT_LN"):
+        return DotLayerNorm(epsilon=epsilon, dtype=dtype, name=name)
     return nn.LayerNorm(epsilon=epsilon, dtype=dtype, name=name)
 
 

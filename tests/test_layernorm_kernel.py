@@ -96,3 +96,34 @@ def test_kernel_path_in_module(monkeypatch):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=1e-2, rtol=1e-2)
+
+
+def test_dot_layer_norm_matches_nn_layernorm_fwd_and_grads():
+    """DotLayerNorm (the kept EMVM_DOT_LN=1 probe — a measured net loss as a
+    default, see ops/layernorm.py) must stay numerically a LayerNorm: fp32
+    fwd and grads match flax nn.LayerNorm."""
+    from flax import linen as nn
+
+    from empirical_mvm_tpu.ops.layernorm import dot_layer_norm
+
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(2, 3, 7, 7, 128).astype(np.float32) * 3 + 1.5)
+    g = jnp.asarray(rs.randn(128), jnp.float32)
+    b = jnp.asarray(rs.randn(128), jnp.float32)
+    ref_mod = nn.LayerNorm(epsilon=1e-5)
+    p = {"params": {"scale": g, "bias": b}}
+    np.testing.assert_allclose(
+        np.asarray(dot_layer_norm(x, g, b, 1e-5, jnp.float32)),
+        np.asarray(ref_mod.apply(p, x)), atol=2e-5, rtol=1e-5)
+
+    def loss(fn):
+        return lambda x, g, b: jnp.sum(jnp.sin(fn(x, g, b)))
+
+    gr = jax.grad(loss(lambda x, g, b: ref_mod.apply(
+        {"params": {"scale": g, "bias": b}}, x)), argnums=(0, 1, 2))(x, g, b)
+    gd = jax.grad(loss(lambda x, g, b: dot_layer_norm(
+        x, g, b, 1e-5, jnp.float32)), argnums=(0, 1, 2))(x, g, b)
+    for a, c in zip(gr, gd):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        np.testing.assert_allclose(np.asarray(c) / scale,
+                                   np.asarray(a) / scale, atol=2e-6)
