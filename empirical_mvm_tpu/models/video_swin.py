@@ -177,6 +177,28 @@ def _shift_attn_mask(dims: tuple[int, int, int],
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)    # (nW, N, N)
 
 
+def _flat_dense(dense: nn.Dense, x: jax.Array) -> jax.Array:
+    """Apply ``dense`` through a flattened (M, C) view of a >2D input.
+
+    A/B probe (EMVM_FLAT_DENSE=1): XLA lowers position-wise Dense layers on
+    5D swin feature maps to 1x1x1 convolutions, whose weight-grad GEMMs
+    (tiny (C_in, C_out) outputs with ~2e5-deep contractions) profile ~8x off
+    roofline (e.g. 1.63 ms for the 26-GFLOP stage-0 MLP wgrad, round-3e
+    trace). Collapsing the leading dims first (layout-free on a contiguous
+    channel-last array) makes XLA emit plain 2D dots instead. Params and
+    numerics are identical either way.
+
+    VERDICT: measured NET LOSS — pixel flagship 67.4 -> 61.4 clips/s. The
+    conv form's slow wgrads are more than paid for by the fusions XLA builds
+    around convs on the 5D layout; the reshape boundaries break them. Kept
+    opt-in for experiments, default off."""
+    import os as _os
+    if x.ndim <= 2 or not _os.environ.get("EMVM_FLAT_DENSE"):
+        return dense(x)
+    shp = x.shape
+    return dense(x.reshape(-1, shp[-1])).reshape(*shp[:-1], -1)
+
+
 class Mlp(nn.Module):
     """Transformer MLP (ref: visbackbone/video_swin.py:65-81)."""
 
@@ -187,10 +209,12 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = _flat_dense(nn.Dense(self.hidden_features, dtype=self.dtype,
+                                 name="fc1"), x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = _flat_dense(nn.Dense(self.out_features, dtype=self.dtype,
+                                 name="fc2"), x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
 
@@ -271,8 +295,8 @@ class WindowAttention3D(nn.Module):
              * (2 * self.window_size[2] - 1), self.num_heads),
         )
         # position-wise: applies equally to (B_, N, C) and (B, Dp, Hp, Wp, C)
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(x)
+        qkv = _flat_dense(nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                                   dtype=self.dtype, name="qkv"), x)
 
         # bias (nH, N, N): the custom-VJP path replaces the table-grad
         # scatter-add with separable per-axis contractions. It requires the
@@ -359,7 +383,7 @@ class WindowAttention3D(nn.Module):
                            preferred_element_type=jnp.float32)
             x = x.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
 
-        x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
+        x = _flat_dense(nn.Dense(self.dim, dtype=self.dtype, name="proj"), x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
         if five_d:
             x = window_reverse(x, (window_eff[0] * t_fold, *window_eff[1:]),
@@ -473,8 +497,8 @@ class PatchMerging(nn.Module):
         x3 = x[:, :, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = layer_norm(1e-5, self.dtype, "norm", self.use_pallas_ln)(x)
-        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                     name="reduction")(x)
+        x = _flat_dense(nn.Dense(2 * self.dim, use_bias=False,
+                                 dtype=self.dtype, name="reduction"), x)
         return x
 
 
