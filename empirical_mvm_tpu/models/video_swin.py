@@ -350,18 +350,23 @@ class WindowAttention3D(nn.Module):
             else:
                 mask_arr = jnp.zeros((1, n_k, n_k), jnp.float32)
                 nw = 1
+            # has_mask=False skips the kernels' additive-mask VPU pass on
+            # UNSHIFTED blocks (half of all blocks), which previously added
+            # an all-zeros mask per score element; mask_arr stays as the
+            # VJP-signature placeholder
+            has_mask = mask is not None
             if (lane_attention_fits(b_, n_k, c, nh, nw)
                     and not _os.environ.get("EMVM_PACKED_ATTN")):
                 x = lane_window_attention(
                     qkv, bias, mask_arr, nw, nh, float(scale),
-                    not on_tpu).astype(self.dtype)     # (B_, Nk, C)
+                    not on_tpu, has_mask).astype(self.dtype)  # (B_, Nk, C)
             else:
                 # packed fallback (EMVM_PACKED_ATTN=1 or non-128-divisible C)
                 qkv = qkv.reshape(b_, n_k, 3 * nh, head_dim)
                 qkv = qkv.transpose(0, 2, 1, 3)        # (B_, 3nH, Nk, hd)
                 x = packed_window_attention(
                     qkv, bias, mask_arr, nw, nh, float(scale),
-                    not on_tpu)                        # (B_, nH, Nk, hd)
+                    not on_tpu, has_mask)              # (B_, nH, Nk, hd)
                 x = (x.astype(self.dtype).transpose(0, 2, 1, 3)
                      .reshape(b_, n_k, c))
         else:

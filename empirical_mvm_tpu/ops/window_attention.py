@@ -53,24 +53,37 @@ _FWD_UNITS = int(_os.environ.get("EMVM_FWD_UNITS", "16"))
 _BWD_UNITS = int(_os.environ.get("EMVM_BWD_UNITS", "8"))
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale):
+def _attn_kernel(*refs, scale, has_mask=True):
     # matmuls run in the INPUT dtype (bf16 from the model) with fp32
     # accumulation — the MXU multiplies bf16 natively; fp32 multiplies cost
     # several passes. Softmax and the bias/mask adds stay fp32.
+    #
+    # VPU-pass economy (round 3e: the kernels are VPU-bound on fp32 (N, N)
+    # elementwise work, not MXU-bound — score-element count tracks measured
+    # time across stages): the *scale fold rides the (N, hd) q block instead
+    # of an (N, N) pass, and has_mask=False skips the additive-mask pass
+    # entirely (every UNSHIFTED swin block — half of them — previously added
+    # an all-zeros mask).
+    if has_mask:
+        q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, bias_ref, o_ref = refs
     q = q_ref[...]                             # (G, Hb, N, hd)
     k = k_ref[...]
     v = v_ref[...]
     g, hb, n, hd = q.shape
+    q = q * jnp.asarray(scale, q.dtype)            # fold scale into q
 
     s = jax.lax.dot_general(
         q.reshape(g * hb, n, hd), k.reshape(g * hb, n, hd),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale   # (G*Hb, N, N) fp32
+        preferred_element_type=jnp.float32)     # (G*Hb, N, N) fp32
     s = s.reshape(g, hb, n, n)
     s = s + bias_ref[...][None]                 # rel-pos bias (Hb, N, N)
-    m = mask_ref[...]                           # (G or 1, N, N)
-    s = s + jnp.broadcast_to(m[:, None], (m.shape[0], hb, n, n)) \
-        if m.shape[0] == g else s + m[0][None, None]
+    if has_mask:
+        m = mask_ref[...]                       # (G or 1, N, N)
+        s = s + jnp.broadcast_to(m[:, None], (m.shape[0], hb, n, n)) \
+            if m.shape[0] == g else s + m[0][None, None]
 
     p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1).astype(v.dtype)
     o = jax.lax.dot_general(
@@ -80,8 +93,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale):
     o_ref[...] = o.reshape(g, hb, n, hd).astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, dbias_ref, *, scale):
+def _attn_bwd_kernel(*refs, scale, has_mask=True):
     """Recompute-then-differentiate backward (flash-attention style, G
     windows x one head-tile per program). The rel-pos-bias cotangent
     accumulates across the sequential grid into a single block.
@@ -90,7 +102,17 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
     accumulation; softmax and the ds reduction run fp32. p/ds are cast back
     to the input dtype for their matmuls — standard mixed-precision flash
     attention. Halving the (N, N) operand bytes also lifts the VMEM unit cap
-    8 -> 16."""
+    8 -> 16.
+
+    Scale handling under the q-side fold: with qs = q*scale, the recompute
+    is s = qs k^T and dk = ds^T qs (= scale ds^T q) needs NO extra scale;
+    dq = (ds k) * scale keeps its (N, hd)-sized scale pass."""
+    if has_mask:
+        (q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
+         dq_ref, dk_ref, dv_ref, dbias_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, bias_ref, do_ref,
+         dq_ref, dk_ref, dv_ref, dbias_ref) = refs
     b = pl.program_id(1)
 
     q = q_ref[...]                              # (G, Hb, N, hd)
@@ -100,13 +122,15 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
     v = v_ref[...].reshape(g * hb, n, hd)
     do = do_ref[...].reshape(g * hb, n, hd)
     dtype = q.dtype
+    qs = q * jnp.asarray(scale, dtype)
 
-    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32) * scale
+    s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
     s = s.reshape(g, hb, n, n) + bias_ref[...][None]
-    m = mask_ref[...]
-    s = s + jnp.broadcast_to(m[:, None], (m.shape[0], hb, n, n)) \
-        if m.shape[0] == g else s + m[0][None, None]
+    if has_mask:
+        m = mask_ref[...]
+        s = s + jnp.broadcast_to(m[:, None], (m.shape[0], hb, n, n)) \
+            if m.shape[0] == g else s + m[0][None, None]
     p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1)   # (G*Hb, N, N) f32
     p_lo = p.astype(dtype)
 
@@ -121,8 +145,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
 
     dq = jax.lax.dot_general(ds_lo, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds_lo, q, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds_lo, qs, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
 
     dq_ref[...] = dq.reshape(g, hb, n, hd).astype(dq_ref.dtype)
     dk_ref[...] = dk.reshape(g, hb, n, hd).astype(dk_ref.dtype)
@@ -181,15 +205,21 @@ def _specs(b_, nh, n, hd, n_windows, cap):
     return qkv_spec, bias_spec, mask_spec, (n_ht, n_b)
 
 
-def _fwd_pallas(q, k, v, bias, mask, n_windows, scale, interpret):
+def _fwd_pallas(q, k, v, bias, mask, n_windows, scale, interpret,
+                has_mask=True):
     b_, nh, n, hd = q.shape
     qkv_spec, bias_spec, mask_spec, grid = _specs(b_, nh, n, hd, n_windows,
                                                    _FWD_UNITS)
     flops = 2 * 2 * b_ * nh * n * n * hd
+    in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec]
+    args = [q, k, v, bias]
+    if has_mask:
+        in_specs.append(mask_spec)
+        args.append(mask)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, has_mask=has_mask),
         grid=grid,
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        in_specs=in_specs,
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -197,18 +227,25 @@ def _fwd_pallas(q, k, v, bias, mask, n_windows, scale, interpret):
             bytes_accessed=3 * q.size * q.dtype.itemsize + q.size * 2,
             transcendentals=b_ * nh * n * n),
         interpret=interpret,
-    )(q, k, v, bias, mask)
+    )(*args)
 
 
-def _bwd_pallas(q, k, v, bias, mask, do, n_windows, scale, interpret):
+def _bwd_pallas(q, k, v, bias, mask, do, n_windows, scale, interpret,
+                has_mask=True):
     b_, nh, n, hd = q.shape
     qkv_spec, bias_spec, mask_spec, grid = _specs(b_, nh, n, hd, n_windows,
                                                    _BWD_UNITS)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec]
+    args = [q, k, v, bias]
+    if has_mask:
+        in_specs.append(mask_spec)
+        args.append(mask)
+    in_specs.append(qkv_spec)
+    args.append(do)
     dq, dk, dv, dbias = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
+        functools.partial(_attn_bwd_kernel, scale=scale, has_mask=has_mask),
         grid=grid,
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec,
-                  qkv_spec],
+        in_specs=in_specs,
         out_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -219,7 +256,7 @@ def _bwd_pallas(q, k, v, bias, mask, do, n_windows, scale, interpret):
             bytes_accessed=5 * q.size * q.dtype.itemsize,
             transcendentals=b_ * nh * n * n),
         interpret=interpret,
-    )(q, k, v, bias, mask, do)
+    )(*args)
     return dq, dk, dv, dbias
 
 
@@ -294,10 +331,11 @@ def _packed_specs(b_, nh, n, hd, n_windows, cap):
     return qkv, out_spec, bias_spec, mask_spec, (n_ht, b_ // g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def packed_window_attention(qkv: jax.Array, bias: jax.Array, mask: jax.Array,
                             n_windows: int, n_heads: int, scale: float,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            has_mask: bool = True) -> jax.Array:
     """Fused window attention over the packed qkv tensor.
 
     Args:
@@ -308,21 +346,29 @@ def packed_window_attention(qkv: jax.Array, bias: jax.Array, mask: jax.Array,
       mask: (n_windows, N, N) fp32 additive shift mask (constant).
     Returns:
       (B_, nH, N, hd) in qkv.dtype.
+
+    ``has_mask=False`` (static) skips the additive-mask VPU pass; the mask
+    argument is then only a VJP-signature placeholder (pass zeros).
     """
     return _packed_fwd(qkv, bias, mask, n_windows, n_heads, scale,
-                       interpret)[0]
+                       interpret, has_mask)[0]
 
 
-def _packed_fwd(qkv, bias, mask, n_windows, n_heads, scale, interpret):
+def _packed_fwd(qkv, bias, mask, n_windows, n_heads, scale, interpret,
+                has_mask=True):
     b_, three_nh, n, hd = qkv.shape
     assert b_ % n_windows == 0 and three_nh == 3 * n_heads
     qkv_spec, out_spec, bias_spec, mask_spec, grid = _packed_specs(
         b_, n_heads, n, hd, n_windows, _FWD_UNITS)
+    in_specs = [qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec]
+    args = [qkv, qkv, qkv, bias]
+    if has_mask:
+        in_specs.append(mask_spec)
+        args.append(mask)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, has_mask=has_mask),
         grid=grid,
-        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec,
-                  mask_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b_, n_heads, n, hd), qkv.dtype),
         cost_estimate=pl.CostEstimate(
@@ -330,20 +376,26 @@ def _packed_fwd(qkv, bias, mask, n_windows, n_heads, scale, interpret):
             bytes_accessed=4 * b_ * n_heads * n * hd * qkv.dtype.itemsize,
             transcendentals=b_ * n_heads * n * n),
         interpret=interpret,
-    )(qkv, qkv, qkv, bias, mask)
+    )(*args)
     return out, (qkv, bias, mask)
 
 
-def _packed_bwd(n_windows, n_heads, scale, interpret, res, do):
+def _packed_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
     qkv, bias, mask = res
     b_, three_nh, n, hd = qkv.shape
     qkv_spec, out_spec, bias_spec, mask_spec, grid = _packed_specs(
         b_, n_heads, n, hd, n_windows, _BWD_UNITS)
+    in_specs = [qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec]
+    args = [qkv, qkv, qkv, bias]
+    if has_mask:
+        in_specs.append(mask_spec)
+        args.append(mask)
+    in_specs.append(out_spec)
+    args.append(do)
     dq, dk, dv, dbias = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
+        functools.partial(_attn_bwd_kernel, scale=scale, has_mask=has_mask),
         grid=grid,
-        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), bias_spec,
-                  mask_spec, out_spec],
+        in_specs=in_specs,
         out_specs=(out_spec, out_spec, out_spec, bias_spec),
         out_shape=(jax.ShapeDtypeStruct((b_, n_heads, n, hd), qkv.dtype),
                    jax.ShapeDtypeStruct((b_, n_heads, n, hd), qkv.dtype),
@@ -354,7 +406,7 @@ def _packed_bwd(n_windows, n_heads, scale, interpret, res, do):
             bytes_accessed=8 * b_ * n_heads * n * hd * qkv.dtype.itemsize,
             transcendentals=b_ * n_heads * n * n),
         interpret=interpret,
-    )(qkv, qkv, qkv, bias, mask, do)
+    )(*args)
     dqkv = jnp.concatenate([dq, dk, dv], axis=1)
     return dqkv, dbias, jnp.zeros_like(mask)
 
@@ -394,10 +446,11 @@ def _sa_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
     k = k_ref[...]
     v = v_ref[...]
     g, hb, n, hd = q.shape
+    q = q * jnp.asarray(scale, q.dtype)               # fold scale into q
     s = jax.lax.dot_general(
         q.reshape(g * hb, n, hd), k.reshape(g * hb, n, hd),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32)
     s = s.reshape(g, hb, n, n)
     s = s + mask_ref[...][:, None]                    # (G, N, N) per-row mask
     p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1)
@@ -419,9 +472,10 @@ def _sa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     v = v_ref[...].reshape(g * hb, n, hd)
     do = do_ref[...].reshape(g * hb, n, hd)
     dtype = q.dtype
+    qs = q * jnp.asarray(scale, dtype)   # see _attn_bwd_kernel fold algebra
 
-    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32) * scale
+    s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
     s = s.reshape(g, hb, n, n) + mask_ref[...][:, None]
     p = jax.nn.softmax(s.reshape(g * hb, n, n), axis=-1)    # pre-dropout
     if p_drop > 0.0:
@@ -445,8 +499,8 @@ def _sa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
 
     dq = jax.lax.dot_general(ds_lo, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds_lo, q, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds_lo, qs, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
 
     dq_ref[...] = dq.reshape(g, hb, n, hd).astype(dq_ref.dtype)
     dk_ref[...] = dk.reshape(g, hb, n, hd).astype(dk_ref.dtype)
@@ -608,7 +662,8 @@ packed_self_attention.defvjp(_psa_fwd, _psa_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _lane_bytes(g, n, c, nh, backward, with_bias=True, itemsize=2):
+def _lane_bytes(g, n, c, nh, backward, with_bias=True, itemsize=2,
+                with_mask=True):
     """Per-program VMEM estimate. Grid-streamed blocks (non-constant index
     maps) are DOUBLE-buffered by the pipeline; the bias (and dbias
     accumulator) have constant indices and stay single. The unrolled head
@@ -620,7 +675,7 @@ def _lane_bytes(g, n, c, nh, backward, with_bias=True, itemsize=2):
     VMEM, caught live as a 16.19M>16M Mosaic stack OOM on (4,232,2304))."""
     inb = (4 if backward else 3) * g * n * c * itemsize * 2   # x2 dbuf
     outb = g * n * (3 * c if backward else c) * itemsize * 2  # x2 dbuf
-    maskb = g * n * n * 4 * 2                             # streamed f32, x2
+    maskb = g * n * n * 4 * 2 if with_mask else 0         # streamed f32, x2
     biasb = (nh * n * n * 4 * (2 if backward else 1)      # resident f32
              if with_bias else 0)
     temps = (4 if backward else 2) * g * n * n * 4        # live f32 (N, N)
@@ -652,36 +707,44 @@ def lane_sa_attention_fits(b, n, c, nh) -> bool:
                             with_bias=False) <= _lane_budget())
 
 
-def _lane_g(b_, n, c, nh, n_windows, backward, itemsize=2):
+def _lane_g(b_, n, c, nh, n_windows, backward, itemsize=2, with_mask=True):
     """Largest window-group size g (dividing B_ and the mask period) whose
     per-program VMEM footprint fits the budget."""
     budget = _lane_budget()
     gdom = n_windows if n_windows > 1 else b_
     g = gdom
     while g > 1 and (gdom % g or b_ % g
-                     or _lane_bytes(g, n, c, nh, backward,
-                                    itemsize=itemsize) > budget):
+                     or _lane_bytes(g, n, c, nh, backward, itemsize=itemsize,
+                                    with_mask=with_mask) > budget):
         g -= 1
     return max(g, 1)
 
 
-def _lane_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
-                     scale, nh):
+def _lane_fwd_kernel(*refs, scale, nh, has_mask=True):
+    # VPU-pass economy (round 3e — the kernels are VPU-bound on fp32 (N, N)
+    # elementwise work): scale folds into the (N, hd) q slice, and
+    # has_mask=False skips the mask add (unshifted blocks previously paid a
+    # full (G, N, N) pass adding zeros).
+    if has_mask:
+        q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, bias_ref, o_ref = refs
     qa = q_ref[...]                                   # (G, N, C)
     ka = k_ref[...]
     va = v_ref[...]
     g, n, c = qa.shape
     hd = c // nh
-    m = mask_ref[...]                                 # (G or 1, N, N)
+    m = mask_ref[...] if has_mask else None           # (G or 1, N, N)
+    sc = jnp.asarray(scale, qa.dtype)
     outs = []
     for h in range(nh):
-        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2)
+        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2) * sc
         k = jax.lax.slice_in_dim(ka, h * hd, (h + 1) * hd, axis=2)
         v = jax.lax.slice_in_dim(va, h * hd, (h + 1) * hd, axis=2)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale   # (G, N, N) f32
-        s = s + bias_ref[h][None] + m
+            preferred_element_type=jnp.float32)       # (G, N, N) f32
+        s = s + bias_ref[h][None] + m if has_mask else s + bias_ref[h][None]
         p = jax.nn.softmax(s, axis=-1).astype(va.dtype)
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -690,8 +753,14 @@ def _lane_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
     o_ref[...] = jnp.concatenate(outs, axis=-1)
 
 
-def _lane_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
-                     dx3_ref, dbias_ref, *, scale, nh):
+def _lane_bwd_kernel(*refs, scale, nh, has_mask=True):
+    # see _attn_bwd_kernel for the qs = q*scale fold algebra: the recompute
+    # uses qs, dk = ds^T qs absorbs the scale, dq keeps its (N, hd) pass
+    if has_mask:
+        (q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
+         dx3_ref, dbias_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, bias_ref, do_ref, dx3_ref, dbias_ref = refs
     b = pl.program_id(0)
     qa = q_ref[...]
     ka = k_ref[...]
@@ -699,8 +768,9 @@ def _lane_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
     doa = do_ref[...]
     g, n, c = qa.shape
     hd = c // nh
-    m = mask_ref[...]
+    m = mask_ref[...] if has_mask else None
     dtype = qa.dtype
+    sc = jnp.asarray(scale, dtype)
 
     @pl.when(b == 0)
     def _():
@@ -708,14 +778,14 @@ def _lane_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
 
     dqs, dks, dvs = [], [], []
     for h in range(nh):
-        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2)
+        qs = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2) * sc
         k = jax.lax.slice_in_dim(ka, h * hd, (h + 1) * hd, axis=2)
         v = jax.lax.slice_in_dim(va, h * hd, (h + 1) * hd, axis=2)
         do = jax.lax.slice_in_dim(doa, h * hd, (h + 1) * hd, axis=2)
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[h][None] + m
+            qs, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[h][None] + m if has_mask else s + bias_ref[h][None]
         p = jax.nn.softmax(s, axis=-1)                # (G, N, N) f32
         p_lo = p.astype(dtype)
         dv = jax.lax.dot_general(p_lo, do, (((1,), (1,)), ((0,), (0,))),
@@ -727,8 +797,8 @@ def _lane_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
         ds_lo = ds.astype(dtype)
         dq = jax.lax.dot_general(ds_lo, k, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds_lo, q, (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds_lo, qs, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
         dqs.append(dq.astype(dtype))
         dks.append(dk.astype(dtype))
         dvs.append(dv.astype(dtype))
@@ -750,10 +820,11 @@ def _lane_specs(b_, n, c, n_windows, g):
     return seg, out_spec, mask_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def lane_window_attention(x3: jax.Array, bias: jax.Array, mask: jax.Array,
                           n_windows: int, n_heads: int, scale: float,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          has_mask: bool = True) -> jax.Array:
     """Fused window attention straight off the qkv GEMM output.
 
     Args:
@@ -766,12 +837,17 @@ def lane_window_attention(x3: jax.Array, bias: jax.Array, mask: jax.Array,
     Returns:
       (B_, N, C) in x3.dtype — ready for the output projection, no
       transposes on either side.
+
+    ``has_mask=False`` (static) skips the additive-mask VPU pass — the
+    unshifted swin blocks have no shift mask; ``mask`` is then only a
+    VJP-signature placeholder (pass zeros).
     """
     return _lane_fwd(x3, bias, mask, n_windows, n_heads, scale,
-                     interpret)[0]
+                     interpret, has_mask)[0]
 
 
-def _lane_fwd(x3, bias, mask, n_windows, n_heads, scale, interpret):
+def _lane_fwd(x3, bias, mask, n_windows, n_heads, scale, interpret,
+              has_mask=True):
     b_, n, c3 = x3.shape
     c = c3 // 3
     assert c3 == 3 * c and c % n_heads == 0 and b_ % n_windows == 0
@@ -779,12 +855,18 @@ def _lane_fwd(x3, bias, mask, n_windows, n_heads, scale, interpret):
     bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     g = _lane_g(b_, n, c, nh, n_windows, backward=False,
-                itemsize=x3.dtype.itemsize)
+                itemsize=x3.dtype.itemsize, with_mask=has_mask)
     seg, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
+    in_specs = [seg(0), seg(1), seg(2), bias_spec]
+    args = [x3, x3, x3, bias]
+    if has_mask:
+        in_specs.append(mask_spec)
+        args.append(mask)
     out = pl.pallas_call(
-        functools.partial(_lane_fwd_kernel, scale=scale, nh=nh),
+        functools.partial(_lane_fwd_kernel, scale=scale, nh=nh,
+                          has_mask=has_mask),
         grid=(b_ // g,),
-        in_specs=[seg(0), seg(1), seg(2), bias_spec, mask_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b_, n, c), x3.dtype),
         cost_estimate=pl.CostEstimate(
@@ -792,11 +874,11 @@ def _lane_fwd(x3, bias, mask, n_windows, n_heads, scale, interpret):
             bytes_accessed=4 * b_ * n * c * x3.dtype.itemsize,
             transcendentals=b_ * nh * n * n),
         interpret=interpret,
-    )(x3, x3, x3, bias, mask)
+    )(*args)
     return out, (x3, bias, mask)
 
 
-def _lane_bwd(n_windows, n_heads, scale, interpret, res, do):
+def _lane_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
     x3, bias, mask = res
     b_, n, c3 = x3.shape
     c = c3 // 3
@@ -804,14 +886,22 @@ def _lane_bwd(n_windows, n_heads, scale, interpret, res, do):
     bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     g = _lane_g(b_, n, c, nh, n_windows, backward=True,
-                itemsize=x3.dtype.itemsize)
+                itemsize=x3.dtype.itemsize, with_mask=has_mask)
     seg, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
     dx3_spec = pl.BlockSpec((g, n, c3), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
+    in_specs = [seg(0), seg(1), seg(2), bias_spec]
+    args = [x3, x3, x3, bias]
+    if has_mask:
+        in_specs.append(mask_spec)
+        args.append(mask)
+    in_specs.append(out_spec)
+    args.append(do)
     dx3, dbias = pl.pallas_call(
-        functools.partial(_lane_bwd_kernel, scale=scale, nh=nh),
+        functools.partial(_lane_bwd_kernel, scale=scale, nh=nh,
+                          has_mask=has_mask),
         grid=(b_ // g,),
-        in_specs=[seg(0), seg(1), seg(2), bias_spec, mask_spec, out_spec],
+        in_specs=in_specs,
         out_specs=(dx3_spec, bias_spec),
         out_shape=(jax.ShapeDtypeStruct(x3.shape, x3.dtype),
                    jax.ShapeDtypeStruct(bias.shape, jnp.float32)),
@@ -820,7 +910,7 @@ def _lane_bwd(n_windows, n_heads, scale, interpret, res, do):
             bytes_accessed=8 * b_ * n * c * x3.dtype.itemsize,
             transcendentals=b_ * nh * n * n),
         interpret=interpret,
-    )(x3, x3, x3, bias, mask, do)
+    )(*args)
     return dx3, dbias, jnp.zeros_like(mask)
 
 
@@ -837,14 +927,15 @@ def _lane_sa_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     m = mask_ref[...]                                 # (G, N, N) per-row
     if p_drop > 0.0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    sc = jnp.asarray(scale, qa.dtype)
     outs = []
     for h in range(nh):
-        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2)
+        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2) * sc
         k = jax.lax.slice_in_dim(ka, h * hd, (h + 1) * hd, axis=2)
         v = jax.lax.slice_in_dim(va, h * hd, (h + 1) * hd, axis=2)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         s = s + m
         p = jax.nn.softmax(s, axis=-1)
         if p_drop > 0.0:
@@ -874,15 +965,16 @@ def _lane_sa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     dtype = qa.dtype
     if p_drop > 0.0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    sc = jnp.asarray(scale, dtype)
     dqs, dks, dvs = [], [], []
     for h in range(nh):
-        q = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2)
+        qs = jax.lax.slice_in_dim(qa, h * hd, (h + 1) * hd, axis=2) * sc
         k = jax.lax.slice_in_dim(ka, h * hd, (h + 1) * hd, axis=2)
         v = jax.lax.slice_in_dim(va, h * hd, (h + 1) * hd, axis=2)
         do = jax.lax.slice_in_dim(doa, h * hd, (h + 1) * hd, axis=2)
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            qs, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         s = s + m
         p = jax.nn.softmax(s, axis=-1)                # pre-dropout
         if p_drop > 0.0:
@@ -906,8 +998,8 @@ def _lane_sa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         ds_lo = ds.astype(dtype)
         dq = jax.lax.dot_general(ds_lo, k, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds_lo, q, (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds_lo, qs, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
         dqs.append(dq.astype(dtype))
         dks.append(dk.astype(dtype))
         dvs.append(dv.astype(dtype))
