@@ -243,7 +243,9 @@ def load_teacher_params(cfg: RunConfig, params):
     from empirical_mvm_tpu.teachers.dvae import dvae_params_from_torch
     from empirical_mvm_tpu.teachers.dpt import dpt_params_from_torch
     from empirical_mvm_tpu.teachers.raft import raft_params_from_torch
+    from empirical_mvm_tpu.teachers.clip import clip_params_from_torch
     graft("dvae", m.dalle_model_path, dvae_params_from_torch)
     graft("dpt", m.midas_model_path, dpt_params_from_torch)
     graft("raft", m.raft_model_path, raft_params_from_torch)
+    graft("clip_model", m.clip_model_path, clip_params_from_torch)
     return params

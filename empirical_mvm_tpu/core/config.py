@@ -155,6 +155,9 @@ class ModelConfig:
     dalle_model_path: str = ""          # ref: utils/args.py:127
     midas_model_path: str = ""          # ref DPT path (main_pretrain.py:190)
     raft_model_path: str = ""           # ref uses torchvision pretrained raft
+    clip_model_path: str = ""           # HF CLIPVisionModel .bin/.pt for the
+                                        # 2d_clip target (paper's 8th family;
+                                        # no reference code branch exists)
     fusion: BertConfig = field(default_factory=BertConfig.base_uncased)
     text: BertConfig = field(default_factory=BertConfig.base_uncased)
     swin_custom: SwinConfig | None = None   # test/research override
@@ -268,7 +271,7 @@ _MODEL_KEYS = {"vis_backbone", "vis_backbone_size", "temporal_fusion",
                "size_option", "size_vocab", "max_size_frame", "max_size_patch",
                "swinbert", "enable_task_token", "task_token", "enable_prompt",
                "num_task_tokens", "vq_on_the_fly", "dalle_model_path",
-               "midas_model_path", "raft_model_path"}
+               "midas_model_path", "raft_model_path", "clip_model_path"}
 _TRAIN_KEYS = {"lr", "decay", "max_grad_norm", "size_batch", "size_epoch",
                "seed", "temp", "p_mask", "pretrain_tasks", "pretrain_masks",
                "mvm_target", "vis_backbone_lr_mul", "lr_mult_head",
@@ -308,7 +311,7 @@ def validate_run_config(cfg: "RunConfig") -> "RunConfig":
             "folds layers into one nn.scan step without them"
     for t in cfg.train.mvm_target:
         assert t in ("vq", "pixel", "hog", "optical_flow", "depth",
-                     "3d_feature", "2d_feature"), t
+                     "3d_feature", "2d_feature", "2d_clip"), t
     for mtype in cfg.train.pretrain_masks:
         assert mtype in ("bm", "am", "rm"), mtype
     return cfg

@@ -47,6 +47,10 @@ class VioletPretrain(VioletBase):
     vq_patch: int = 8             # dVAE patch size (ref: dalle/__init__.py:56-58)
     vq_on_the_fly: bool = False   # True: dVAE teacher extracts tokens on device
     feat_target_size: int = 1024  # regression width for 2d/3d_feature targets
+    clip_arch: tuple[int, int, int, int] = (768, 12, 12, 3072)
+                                  # CLIP visual tower (hidden, layers, heads,
+                                  # mlp) for the 2d_clip target; hidden is
+                                  # also the regressor width. Default ViT-B/32
     special_token_ids: tuple[int, ...] = (101, 102, 0)  # cls/sep/pad (bert-base)
     mask_token_id: int = 103
 
@@ -87,6 +91,15 @@ class VioletPretrain(VioletBase):
             self.fc_mvm = ScoreHead(hidden_size=d,
                                     out_size=self.feat_target_size,
                                     dtype=self.dtype, name="fc_mvm")
+        if "2d_clip" in self.mvm_target:
+            # the paper's 8th target family — ADVERTISED in the reference
+            # README but never implemented there (no clip import exists in
+            # the reference tree; SURVEY.md §"What the reference is").
+            # Regressor to the CLIP width, wired like the 2d_feature head.
+            self.fc_mvm_clip = ScoreHead(hidden_size=d,
+                                         out_size=self.clip_arch[0],
+                                         dtype=self.dtype,
+                                         name="fc_mvm_clip")
         if self.vq_on_the_fly:
             # frozen dVAE encoder teacher lives inside the model so token
             # extraction fuses into the train step (ref: main_pretrain.py:197)
@@ -124,6 +137,16 @@ class VioletPretrain(VioletBase):
                 config=_dc.replace(swin2d_config("base"),
                                    use_pallas_layernorm=True),
                 dtype=self.dtype, name="feature_model")
+        if "2d_clip" in self.mvm_target:
+            # frozen CLIP ViT-B/32 visual tower (the missing 8th target;
+            # fused attention + Pallas LN — same frozen-teacher policy as
+            # DPT/the feature swins)
+            from empirical_mvm_tpu.teachers.clip import CLIPVisual
+            cd, cl, ch, cm = self.clip_arch
+            self.clip_model = CLIPVisual(hidden_size=cd, num_layers=cl,
+                                         num_heads=ch, mlp_dim=cm,
+                                         use_pallas=True, dtype=self.dtype,
+                                         name="clip_model")
 
     # ---- helpers over the fused sequence ----
 
@@ -397,6 +420,26 @@ class VioletPretrain(VioletBase):
                 ls["mvm_2d_feature"] = masked_l1(pred, target,
                                                  mb.cov[..., None],
                                                  channel_div=3.0)
+            if "2d_clip" in self.mvm_target:
+                # frozen CLIP patch features per frame — the paper's 8th
+                # target, absent from the reference code (README-only);
+                # wired like the 2d_feature branch. The pipeline ships
+                # ImageNet-normalized clips; CLIP gets its own
+                # normalization via an elementwise renorm.
+                from empirical_mvm_tpu.teachers.clip import (
+                    renormalize_imagenet_to_clip)
+                bsz, tt = img.shape[0], img.shape[1]
+                frames = renormalize_imagenet_to_clip(
+                    img.reshape((bsz * tt,) + img.shape[2:]))
+                feats = self.clip_model.features(frames)   # (B*T, h, w, D)
+                target = jax.lax.stop_gradient(
+                    feats.reshape((bsz, tt) + feats.shape[1:]))
+                pred = self.fc_mvm_clip(
+                    self.patch_tokens(out["out_mvm"], t, h, w),
+                    deterministic=deterministic)
+                ls["mvm_2d_clip"] = masked_l1(pred, target,
+                                              mb.cov[..., None],
+                                              channel_div=3.0)
 
         total = jnp.asarray(0.0, jnp.float32)
         for v in ls.values():

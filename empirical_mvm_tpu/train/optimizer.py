@@ -58,7 +58,8 @@ def warmup_linear_schedule(base_lr: float, max_iter: int,
 # (mu, nu) for the 88M-param feature teacher (~700MB HBM + ~11ms/step of
 # moment updates, round-3 profile) and its weight decay would silently
 # shrink the frozen teacher in place every step.
-TEACHER_PREFIXES = ("feature_model", "dpt", "raft", "dvae")
+TEACHER_PREFIXES = ("feature_model", "dpt", "raft", "dvae",
+                    "clip_model")
 
 
 def _is_frozen(name: str, freeze_prefixes: tuple[str, ...]) -> bool:

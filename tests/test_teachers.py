@@ -360,3 +360,60 @@ def test_dpt_importer_consumes_real_checkpoint_layout():
     for k in flat_ref:
         assert tuple(flat_got[k]) == tuple(flat_ref[k]), (
             k, flat_got[k], flat_ref[k])
+
+
+def test_clip_visual_parity_vs_hf():
+    """CLIPVisual + importer vs a random-init transformers CLIPVisionModel —
+    the oracle for the 2d_clip MVM target (the paper's 8th target family;
+    the reference README advertises it but ships no code branch, so HF's
+    CLIPVisionModel is the ground truth)."""
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    torch.manual_seed(0)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=64, patch_size=32,
+        hidden_act="quick_gelu")
+    ref = CLIPVisionModel(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from empirical_mvm_tpu.teachers.clip import (CLIPVisual,
+                                                 clip_params_from_torch)
+    params = clip_params_from_torch(sd, num_layers=2)
+    model = CLIPVisual(hidden_size=64, num_layers=2, num_heads=4,
+                       mlp_dim=128, patch_size=32)
+
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        out = ref(pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    tok, pooled = jax.jit(lambda p: model.apply(
+        {"params": p}, jnp.asarray(x)))(params)
+    np.testing.assert_allclose(np.asarray(tok),
+                               out.last_hidden_state.numpy(),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               out.pooler_output.numpy(),
+                               atol=2e-5, rtol=2e-5)
+    feats = model.apply({"params": params}, jnp.asarray(x),
+                        method=model.features)
+    assert feats.shape == (2, 2, 2, 64)
+    np.testing.assert_allclose(
+        np.asarray(feats).reshape(2, 4, 64),
+        out.last_hidden_state.numpy()[:, 1:], atol=2e-5, rtol=2e-5)
+
+
+def test_clip_renormalization_roundtrip():
+    """ImageNet-normalized -> CLIP-normalized equals normalizing the raw
+    pixels with CLIP stats directly."""
+    from empirical_mvm_tpu.teachers.clip import (CLIP_MEAN, CLIP_STD,
+                                                 IMAGENET_MEAN, IMAGENET_STD,
+                                                 renormalize_imagenet_to_clip)
+    rs = np.random.RandomState(1)
+    raw = rs.rand(4, 8, 8, 3).astype(np.float32)
+    imnet = (raw - np.asarray(IMAGENET_MEAN, np.float32)) \
+        / np.asarray(IMAGENET_STD, np.float32)
+    want = (raw - np.asarray(CLIP_MEAN, np.float32)) \
+        / np.asarray(CLIP_STD, np.float32)
+    got = np.asarray(renormalize_imagenet_to_clip(jnp.asarray(imnet)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -363,3 +363,52 @@ def test_frozen_teacher_params_skipped_by_optimizer():
     assert n_state_elems <= 2 * n_trained + 64, (
         f"optimizer holds state for frozen params: {n_state_elems} elems "
         f"vs {n_param_elems} params, {n_trained} trained")
+
+
+def test_pretrain_2d_clip_target():
+    """Frozen CLIP teacher wired into the pretrain loss — the paper's 8th
+    MVM target family (README-advertised upstream, no reference code
+    branch). Checks the loss exists, is finite, the CLIP teacher is
+    excluded from the optimizer, and the student head still gets grads."""
+    from empirical_mvm_tpu.train.optimizer import build_optimizer
+
+    cfg = _cfg()
+    model = VioletPretrain(config=cfg, mvm_target=("2d_clip",),
+                           pretrain_masks=("rm",),
+                           clip_arch=(48, 2, 4, 96))  # tiny teacher for CPU
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(2, 2, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rs.randint(5, 200, (2, 8)).astype(np.int32))
+    mask = jnp.ones((2, 8), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda: model.init(rngs, img, txt, mask,
+                                           method=model.losses))()
+    assert "clip_model" in variables["params"]
+    ls = jax.jit(lambda v: model.apply(
+        v, img, txt, mask, method=model.losses,
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "mask": jax.random.PRNGKey(4)}))(variables)
+    assert "mvm_2d_clip" in ls
+    for k, v in ls.items():
+        assert np.isfinite(float(v)), k
+
+    # frozen-teacher exclusion (same policy as feature_model/dpt/raft/dvae)
+    import optax
+    tx = build_optimizer(variables["params"], lr=1e-3, max_iter=10)
+    state = tx.init(variables["params"])
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, img, txt, mask, method=model.losses,
+                          rngs={"dropout": jax.random.PRNGKey(3),
+                                "mask": jax.random.PRNGKey(4)})
+        return out["total"]
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    updates, _ = tx.update(grads, state, variables["params"])
+    teacher_upd = jax.tree.leaves(updates["clip_model"])
+    assert all(float(jnp.max(jnp.abs(u))) == 0.0 for u in teacher_upd), \
+        "frozen CLIP teacher must receive zero optimizer updates"
+    head_upd = jax.tree.leaves(updates["fc_mvm_clip"])
+    assert any(float(jnp.max(jnp.abs(u))) > 0.0 for u in head_upd), \
+        "the 2d_clip regressor head must train"

@@ -28,7 +28,7 @@ except Exception:
     pass
 
 ALL_TARGETS = ["pixel", "hog", "vq", "vq_pre", "depth", "optical_flow",
-               "2d_feature", "3d_feature"]
+               "2d_feature", "3d_feature", "2d_clip"]
 
 
 def build(batch_size: int, target: str):
