@@ -94,6 +94,7 @@ def main():
         vq_on_the_fly=cfg.model.vq_on_the_fly,
         mvm_target=tc.mvm_target, pretrain_tasks=tc.pretrain_tasks,
         pretrain_masks=tc.pretrain_masks, p_mask=tc.p_mask, temp=tc.temp,
+        clip_arch=tuple(tc.clip_arch),
         special_token_ids=(tokzr.cls_token_id, tokzr.sep_token_id,
                            tokzr.pad_token_id),
         mask_token_id=tokzr.mask_token_id)

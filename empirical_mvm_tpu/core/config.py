@@ -200,6 +200,9 @@ class TrainConfig:
     pretrain_tasks: tuple[str, ...] = ("mtm", "vtm", "mvm")
     pretrain_masks: tuple[str, ...] = ("bm", "rm")
     mvm_target: tuple[str, ...] = ("pixel",)
+    clip_arch: tuple[int, ...] = (768, 12, 12, 3072)
+                                        # 2d_clip teacher (hidden, layers,
+                                        # heads, mlp); default CLIP ViT-B/32
     logging_steps: int = 20
     grad_accum: int = 1
     profile_n_steps: int = 0            # >0: jax profiler trace of N steps
@@ -274,7 +277,7 @@ _MODEL_KEYS = {"vis_backbone", "vis_backbone_size", "temporal_fusion",
                "midas_model_path", "raft_model_path", "clip_model_path"}
 _TRAIN_KEYS = {"lr", "decay", "max_grad_norm", "size_batch", "size_epoch",
                "seed", "temp", "p_mask", "pretrain_tasks", "pretrain_masks",
-               "mvm_target", "vis_backbone_lr_mul", "lr_mult_head",
+               "mvm_target", "clip_arch", "vis_backbone_lr_mul", "lr_mult_head",
                "logging_steps", "warmup_ratio", "freeze", "profile_n_steps"}
 _DATA_KEYS = {"data_dir", "dataset", "task", "data_ratio", "n_workers",
               "size_part", "img_transform", "multi_clip_testing", "mask_pos",

@@ -98,6 +98,26 @@ def test_cli_pretrain(synth_env):
                for f in os.listdir(run_dir))
 
 
+def test_cli_pretrain_2d_clip(synth_env):
+    """End-to-end pretrain CLI with the 2d_clip MVM target (the paper's 8th
+    family — beyond reference parity) and a config-shrunk CLIP teacher."""
+    tmp = synth_env
+    synth_data.make_pretrain(str(tmp / "data"), "webvid2.5m")
+    cfg_path = _write_cfg(tmp, "pretrain", "pretrain", "webvid2.5m",
+                          extra={"size_part": 2, "mvm_target": ["2d_clip"],
+                                 "clip_arch": [32, 1, 2, 64],
+                                 "pretrain_masks": ["rm"]})
+    from empirical_mvm_tpu.cli import pretrain
+    _run_cli(pretrain.main, ["pretrain", "--config", cfg_path])
+    run_dir = _latest_run_dir(str(tmp / "out"))
+    ckpts = [f for f in os.listdir(run_dir)
+             if "pretrain" in f and f.endswith(".msgpack")]
+    assert ckpts
+    from empirical_mvm_tpu.train.checkpoint import load_params
+    params = load_params(os.path.join(run_dir, ckpts[0]))
+    assert "clip_model" in params and "fc_mvm_clip" in params
+
+
 def test_cli_qamc_mlm(synth_env):
     tmp = synth_env
     synth_data.make_downstream(str(tmp / "data"), "tgif", "qamc-task",
