@@ -53,6 +53,19 @@ _FWD_UNITS = int(_os.environ.get("EMVM_FWD_UNITS", "16"))
 _BWD_UNITS = int(_os.environ.get("EMVM_BWD_UNITS", "8"))
 
 
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM ceiling above its 16MB default.
+
+    v5e has 128MB of physical VMEM per core; the round-3e "13MB budget
+    crashes Mosaic" result was the 16MB DEFAULT scoped limit, not
+    hardware. Raising ``vmem_limit_bytes`` lets ``EMVM_LANE_BUDGET_MB``
+    grow the window-group size g — the measured kernel cost law is
+    ~per-program issue overhead x (B_/g), so bigger g is a direct win.
+    """
+    mb = int(_os.environ.get("EMVM_VMEM_LIMIT_MB", "96"))
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 2**20)
+
+
 def _attn_kernel(*refs, scale, has_mask=True):
     # matmuls run in the INPUT dtype (bf16 from the model) with fp32
     # accumulation — the MXU multiplies bf16 natively; fp32 multiplies cost
@@ -227,6 +240,7 @@ def _fwd_pallas(q, k, v, bias, mask, n_windows, scale, interpret,
             bytes_accessed=3 * q.size * q.dtype.itemsize + q.size * 2,
             transcendentals=b_ * nh * n * n),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args)
 
 
@@ -256,6 +270,7 @@ def _bwd_pallas(q, k, v, bias, mask, do, n_windows, scale, interpret,
             bytes_accessed=5 * q.size * q.dtype.itemsize,
             transcendentals=b_ * nh * n * n),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args)
     return dq, dk, dv, dbias
 
@@ -376,6 +391,7 @@ def _packed_fwd(qkv, bias, mask, n_windows, n_heads, scale, interpret,
             bytes_accessed=4 * b_ * n_heads * n * hd * qkv.dtype.itemsize,
             transcendentals=b_ * n_heads * n * n),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args)
     return out, (qkv, bias, mask)
 
@@ -406,6 +422,7 @@ def _packed_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
             bytes_accessed=8 * b_ * n_heads * n * hd * qkv.dtype.itemsize,
             transcendentals=b_ * n_heads * n * n),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args)
     dqkv = jnp.concatenate([dq, dk, dv], axis=1)
     return dqkv, dbias, jnp.zeros_like(mask)
@@ -585,6 +602,7 @@ def _sa_call(args, mask, seed, scale, p_drop, interpret, *, backward,
                 bytes_accessed=4 * size * dtype.itemsize,
                 transcendentals=b * nh * n * n),
             interpret=interpret,
+            compiler_params=None if interpret else _compiler_params(),
         )(seed, *ins, mask)
     return pl.pallas_call(
         functools.partial(_sa_bwd_kernel, scale=scale, p_drop=p_drop),
@@ -598,6 +616,7 @@ def _sa_call(args, mask, seed, scale, p_drop, interpret, *, backward,
             bytes_accessed=8 * size * dtype.itemsize,
             transcendentals=b * nh * n * n),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(seed, *ins, mask, do)
 
 
@@ -874,6 +893,7 @@ def _lane_fwd(x3, bias, mask, n_windows, n_heads, scale, interpret,
             bytes_accessed=4 * b_ * n * c * x3.dtype.itemsize,
             transcendentals=b_ * nh * n * n),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args)
     return out, (x3, bias, mask)
 
@@ -910,6 +930,7 @@ def _lane_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
             bytes_accessed=8 * b_ * n * c * x3.dtype.itemsize,
             transcendentals=b_ * nh * n * n),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args)
     return dx3, dbias, jnp.zeros_like(mask)
 
@@ -1071,6 +1092,7 @@ def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,
                 bytes_accessed=4 * b * n * c * x3.dtype.itemsize,
                 transcendentals=b * nh * n * n),
             interpret=interpret,
+            compiler_params=None if interpret else _compiler_params(),
         )(seed, x3, x3, x3, mask)
     do_spec = pl.BlockSpec((g, n, c), lambda r: (r, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -1088,6 +1110,7 @@ def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,
             bytes_accessed=8 * b * n * c * x3.dtype.itemsize,
             transcendentals=b * nh * n * n),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(seed, x3, x3, x3, mask, do)
 
 
