@@ -39,16 +39,13 @@ def bench(fn, args, iters=30):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # force a host readback: block_until_ready does not reliably block
+    # through the axon tunnel for dispatch chains (BENCH_LOCAL_r2 notes)
+    float(jnp.sum(out.astype(jnp.float32)))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", default="0")
-    ap.add_argument("--iters", type=int, default=30)
-    args = ap.parse_args()
-    key = args.stage if args.stage == "bert" else int(args.stage)
+def run_stage(key, iters):
     budget = os.environ.get("EMVM_LANE_BUDGET_MB", "10")
     vlim = os.environ.get("EMVM_VMEM_LIMIT_MB", "96")
 
@@ -65,10 +62,10 @@ def main():
                                                      scale, 0.0))
         fb = jax.jit(jax.grad(lambda x: wa.lane_self_attention(
             x, mask, seed, nh, scale, 0.0).astype(jnp.float32).sum()))
-        tf = bench(f, (x3,), args.iters)
-        tb = bench(fb, (x3,), args.iters)
+        tf = bench(f, (x3,), iters)
+        tb = bench(fb, (x3,), iters)
         print(f"bert budget={budget}MB vlim={vlim}MB g_fwd={gf} g_bwd={gb} "
-              f"fwd={tf:.3f}ms fwd+bwd={tb:.3f}ms")
+              f"fwd={tf:.3f}ms fwd+bwd={tb:.3f}ms", flush=True)
         return
 
     b_, n, c, nh, nw = STAGES[key]
@@ -85,10 +82,26 @@ def main():
                                   scale=scale))
     fb = jax.jit(jax.grad(lambda x, bi, m: wa.lane_window_attention(
         x, bi, m, max(nw, 1), nh, scale).astype(jnp.float32).sum()))
-    tf = bench(f, (x3, bias, mask), args.iters)
-    tb = bench(fb, (x3, bias, mask), args.iters)
+    tf = bench(f, (x3, bias, mask), iters)
+    tb = bench(fb, (x3, bias, mask), iters)
     print(f"stage{key} budget={budget}MB vlim={vlim}MB fits={fits} "
-          f"g_fwd={gf} g_bwd={gb} fwd={tf:.3f}ms fwd+bwd={tb:.3f}ms")
+          f"g_fwd={gf} g_bwd={gb} fwd={tf:.3f}ms fwd+bwd={tb:.3f}ms",
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="0")
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+    keys = ([0, 1, 2, 3, "bert"] if args.stage == "all"
+            else [args.stage if args.stage == "bert" else int(args.stage)])
+    for key in keys:
+        try:
+            run_stage(key, args.iters)
+        except Exception as e:  # noqa: BLE001 — report and keep sweeping
+            print(f"stage{key} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
