@@ -65,6 +65,13 @@ except Exception:
 # not a measurement (the reference repo publishes none).
 REFERENCE_CLIPS_PER_SEC_PER_GPU = 50.0
 
+# Measured chip ceiling: 138 bf16 TFLOP/s on this v5e (host-readback-timed
+# 8192^3 GEMM, BENCH_LOCAL_r2.txt). MFU = step FLOPs (XLA cost analysis of
+# the compiled program) x steps/s / this ceiling — BASELINE.md's honest
+# speed metric (the >=5x clips/s north star is physically unreachable at
+# reference FLOPs on this part; >=65% MFU is the reconciled target).
+CHIP_BF16_FLOPS = 138e12
+
 
 def build(batch_size: int, mvm_target: str = "2d_feature"):
     from empirical_mvm_tpu.core.config import ModelConfig
@@ -101,7 +108,14 @@ def build(batch_size: int, mvm_target: str = "2d_feature"):
         {"params": rng, "dropout": rng, "mask": rng},
         batch["img"], batch["txt"], batch["mask"],
         method=model.losses)["params"])()
-    tx = build_optimizer(params, lr=5e-5, max_iter=1000)
+    if os.environ.get("EMVM_FLAT_OPT"):
+        # A/B hook (VERDICT r3 item 7): single-flat-buffer AdamW vs the
+        # per-leaf optax chain. Equivalence-tested in test_train_step.py;
+        # run `EMVM_FLAT_OPT=1 python bench.py --series pixel` to compare.
+        from empirical_mvm_tpu.train.optimizer import build_flat_optimizer
+        tx = build_flat_optimizer(params, lr=5e-5, max_iter=1000)
+    else:
+        tx = build_optimizer(params, lr=5e-5, max_iter=1000)
     step = make_pretrain_train_step(model, tx, mesh=None, donate=True)
     state = create_train_state(params, tx)
     return step, state, batch
@@ -144,6 +158,15 @@ def measure(mvm_target: str):
             break
     assert batch_size is not None, f"no batch size compiled for {mvm_target}"
 
+    step_flops = None
+    try:   # XLA's own FLOP count for the compiled step program
+        ca = step.lower(state, batch, jax.random.PRNGKey(2)) \
+                 .compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
+
     rng = jax.random.PRNGKey(2)
     n_warm, n_meas = 3, 10
     for _ in range(n_warm):
@@ -161,7 +184,9 @@ def measure(mvm_target: str):
         dt = time.perf_counter() - t0
         rate = batch_size * n_meas / dt
         if rate <= 200.0:
-            return rate
+            mfu = (step_flops * (rate / batch_size) / CHIP_BF16_FLOPS
+                   if step_flops else None)
+            return rate, mfu
         time.sleep(10)
     raise RuntimeError(f"implausible rate {rate:.1f} clips/s for "
                        f"{mvm_target}; refusing to report it")
@@ -170,10 +195,11 @@ def measure(mvm_target: str):
 def main():
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "--series":
-        # child mode: measure one series and print just the number
-        print(round(measure(sys.argv[2]), 2))
+        # child mode: measure one series; prints "rate mfu"
+        rate, mfu = measure(sys.argv[2])
+        print(round(rate, 2), round(mfu, 4) if mfu else "nan")
         return
-    clips_per_sec = measure("2d_feature")   # the reference's flagship target
+    clips_per_sec, mfu = measure("2d_feature")  # the reference flagship target
     out = {
         "metric": "pretrain_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -182,6 +208,8 @@ def main():
                              3),
         "mvm_target": "2d_feature",
     }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
     try:
         # secondary series for round-over-round continuity (r1/r2 headline).
         # A FRESH process per series: measuring a second model in the same
@@ -192,7 +220,10 @@ def main():
             [sys.executable, os.path.abspath(__file__), "--series", "pixel"],
             capture_output=True, text=True, timeout=1200)
         if r.returncode == 0 and r.stdout.strip():
-            out["pixel_clips_per_sec"] = float(r.stdout.strip().split()[-1])
+            parts = r.stdout.strip().split()[-2:]
+            out["pixel_clips_per_sec"] = float(parts[0])
+            if len(parts) > 1 and parts[1] != "nan":
+                out["pixel_mfu"] = float(parts[1])
     except Exception:  # noqa: BLE001 — secondary series must not kill the run
         pass
     print(json.dumps(out))

@@ -89,6 +89,43 @@ def main():
 
     meta = MetaLoader(loaders, seed=tc.seed, accum_steps=tc.grad_accum)
 
+    # validation loaders (ref: main_pretrain_yaml.py:168-176,286-293 —
+    # zero-shot eval at startup + val losses every eval_step). Sources, per
+    # dataset: a `{name}_val.yaml` composite manifest, or raw
+    # `{name}_val_{part}.tsv` shards with txt["val"] captions. Missing val
+    # data just drops that dataset from eval (the reference requires val
+    # yamls; ours are optional so tiny runs still work).
+    val_loaders = {}
+    for ds_name in cfg.data.dataset:
+        stem = ds_name[:-len(".yaml")] if ds_name.endswith(".yaml") else ds_name
+        val_yaml = os.path.join(cfg.data.data_dir, f"{stem}_val.yaml")
+        if os.path.exists(val_yaml):
+            from empirical_mvm_tpu.data.composite import CompositeYamlDataset
+            ds = CompositeYamlDataset(cfg, val_yaml, split="val", tokzr=tokzr)
+            val_loaders[f"{stem}_val"] = ShardedBatchLoader(
+                ds, tc.size_batch, shuffle=False, seed=tc.seed,
+                num_hosts=jax.process_count(),
+                host_index=jax.process_index(),
+                num_threads=cfg.data.n_workers)
+            continue
+        txt_path = os.path.join(cfg.data.data_dir, f"txt_{stem}.json")
+        if not os.path.exists(txt_path):
+            continue
+        with open(txt_path) as f:
+            txt_all = json.load(f)
+        for part in range(cfg.data.size_part):
+            p = os.path.join(cfg.data.data_dir, f"{stem}_val_{part}.tsv")
+            if not os.path.exists(p):
+                continue
+            ds = PretrainTsvDataset(cfg, "val", tokzr, p,
+                                    txt_all.get("val", txt_all),
+                                    dataset_name=stem)
+            val_loaders[f"{stem}_val/{part}"] = ShardedBatchLoader(
+                ds, tc.size_batch, shuffle=False, seed=tc.seed,
+                num_hosts=jax.process_count(),
+                host_index=jax.process_index(),
+                num_threads=cfg.data.n_workers)
+
     model = VioletPretrain(
         config=cfg.model, dtype=jnp.bfloat16,
         vq_on_the_fly=cfg.model.vq_on_the_fly,
@@ -117,9 +154,11 @@ def main():
     steps_per_ep = sum(len(l) for l, _ in loaders.values())
     num_steps = steps_per_ep * tc.size_epoch
     agent = PretrainAgent(cfg, model, params, max_iter=max(num_steps, 1))
+    eval_fn = agent.make_val_fn(val_loaders) if val_loaders else None
     if agent.resume():
         num_steps = max(num_steps - agent.global_step, 0)
-    agent.run_meta(meta, num_steps, eval_every=max(steps_per_ep // 2, 1))
+    agent.run_meta(meta, num_steps, eval_every=max(steps_per_ep // 2, 1),
+                   eval_fn=eval_fn)
     agent.save(num_steps, tag="pretrain_final")
 
 

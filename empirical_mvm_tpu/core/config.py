@@ -206,6 +206,13 @@ class TrainConfig:
     logging_steps: int = 20
     grad_accum: int = 1
     profile_n_steps: int = 0            # >0: jax profiler trace of N steps
+    fsdp: bool = False                  # ZeRO-3-style param+optimizer sharding
+                                        # over the data mesh (a strict upgrade
+                                        # over the reference's ZeRO-1,
+                                        # ref: agent.py:195-201); replicated
+                                        # DDP-equivalent when False
+    fsdp_min_size: int = 2 ** 18        # leaves smaller than this stay
+                                        # replicated (gather cost > win)
     # param-path prefixes excluded from updates (ref: model.py:163-172
     # freeze_vis_encoder/freeze_bert; args.py:59 --freeze_violet maps to
     # ("enc_img", "enc_txt", "trsfr"))
@@ -278,7 +285,8 @@ _MODEL_KEYS = {"vis_backbone", "vis_backbone_size", "temporal_fusion",
 _TRAIN_KEYS = {"lr", "decay", "max_grad_norm", "size_batch", "size_epoch",
                "seed", "temp", "p_mask", "pretrain_tasks", "pretrain_masks",
                "mvm_target", "clip_arch", "vis_backbone_lr_mul", "lr_mult_head",
-               "logging_steps", "warmup_ratio", "freeze", "profile_n_steps"}
+               "logging_steps", "warmup_ratio", "freeze", "profile_n_steps",
+               "fsdp", "fsdp_min_size"}
 _DATA_KEYS = {"data_dir", "dataset", "task", "data_ratio", "n_workers",
               "size_part", "img_transform", "multi_clip_testing", "mask_pos",
               "tokenizer", "prompt", "num_beams", "decode", "vq_path"}

@@ -17,10 +17,10 @@ Design notes (TPU-native, documented deviations):
   :func:`swin2d_params_from_hf` (parity-tested in tests/test_encoders2d.py);
 * ResNet BatchNorm defaults to frozen statistics (standard serving-mode
   choice on TPU); ``ModelConfig.r50_train_bn`` enables torch train-mode BN
-  (batch statistics) for fine-tune parity with the reference, whose R50 BNs
-  run in train() mode while stem+layer1 PARAMS are frozen when pretrained
-  (ref resnet50.py:18-21) — see :class:`BatchNorm2d` for the one documented
-  deviation (running stats are not momentum-updated).
+  (batch statistics + momentum-updated running stats via the ``bn_stats``
+  collection and :func:`fold_bn_stats`) for fine-tune parity with the
+  reference, whose R50 BNs run in train() mode while stem+layer1 PARAMS are
+  frozen when pretrained (ref resnet50.py:18-21).
 """
 
 from __future__ import annotations
@@ -143,11 +143,12 @@ class BatchNorm2d(nn.Module):
     ref: visbackbone/resnet50.py:18-21; param freezing maps to optimizer
     freeze groups here).
 
-    Documented deviation: running statistics are NOT momentum-updated during
-    training (they keep their imported values for later eval). Train-mode
-    outputs and gradients are identical to torch — running stats don't enter
-    the train-mode math — only post-finetune eval sees imported rather than
-    drifted stats."""
+    Running statistics (torch semantics: ``running = (1-m)*running +
+    m*batch`` with momentum 0.1 and the UNBIASED batch variance) are sown
+    into the ``bn_stats`` collection during train-mode calls; the train step
+    folds them back into the mean/var params via :func:`fold_bn_stats`, so a
+    fine-tune -> eval round trip sees the drifted statistics exactly like
+    torch."""
 
     features: int
     eps: float = 1e-5
@@ -163,8 +164,37 @@ class BatchNorm2d(nn.Module):
         if use_batch_stats:
             mean = jnp.mean(xf, axis=(0, 1, 2))
             var = jnp.var(xf, axis=(0, 1, 2))      # biased, like torch train
+            n = xf.shape[0] * xf.shape[1] * xf.shape[2]
+            self.sow("bn_stats", "mean", jax.lax.stop_gradient(mean))
+            self.sow("bn_stats", "var", jax.lax.stop_gradient(
+                var * (n / max(n - 1, 1))))        # unbiased for the update
         inv = jax.lax.rsqrt(var + self.eps) * scale
         return (xf - mean) * inv + bias
+
+
+BN_MOMENTUM = 0.1   # torch nn.BatchNorm2d default, used by torchvision R50
+
+
+def fold_bn_stats(params, bn_stats, momentum: float = BN_MOMENTUM):
+    """Momentum-update the BN running mean/var params from the ``bn_stats``
+    collection sown by train-mode :class:`BatchNorm2d` calls (torch
+    semantics: ``running = (1-m)*running + m*batch_stat``,
+    ref: visbackbone/resnet50.py:18-21 + torch BN docs). ``bn_stats`` paths
+    mirror the param tree, so this is a recursive merge; no-op on empty."""
+    if not bn_stats:
+        return params
+
+    def merge(p, s):
+        out = dict(p)
+        for k, v in s.items():
+            if isinstance(v, dict):
+                out[k] = merge(p[k], v)
+            else:
+                new = v[0] if isinstance(v, tuple) else v   # sow stores tuples
+                out[k] = (1.0 - momentum) * p[k] + momentum * new
+        return out
+
+    return merge(params, bn_stats)
 
 
 class BottleneckBlock(nn.Module):

@@ -1,15 +1,16 @@
 """Fused LayerNorm Pallas kernel (forward + custom-VJP backward).
 
-MEASURED NEGATIVE RESULT on the flagship step (round 3, BENCH_LOCAL_r3.txt):
-wiring this kernel into every swin/BERT LayerNorm moved the step 56.6 ->
-55.1 clips/s. The round-2 profile attributed ~24 ms/step to LN-shaped
-reduce-fusions, but those fusions carry neighboring elementwise work that
-must happen anyway, and the custom-VJP boundary suppresses XLA fusions
-worth more than the kernel saves (the kernelized LNs themselves measure
-~8 ms/step). The hot paths therefore default to nn.LayerNorm via the
-:func:`layer_norm` factory below; EMVM_PALLAS_LN=1 opts the kernel back in
-for experiments. The kernel stays verified (interpret-mode CPU tests +
-the -m tpu on-chip suite) as infrastructure.
+DEFAULT-ON for the hot BERT/fusion paths and the frozen teachers since
+round 3c (commit 252a1e8): after the lane-sliced attention kernels landed,
+the kernel's stat-reduce win became pure profit (pixel 66.4 -> 67.7
+clips/s; the lane kernels already break the fusion chains the LN
+custom-VJP boundary was earlier blamed for suppressing). Set
+EMVM_NO_PALLAS_LN=1 to revert to flax ``nn.LayerNorm``. The one measured
+exception is the TRAINED swin stacks (small-spatial 5D shapes), where the
+kernel remains a net loss (pixel 67.7 -> 64.6, BENCH_LOCAL_r3.txt) and
+``SwinConfig.use_pallas_layernorm=False`` keeps flax LN; frozen teacher
+swins force the kernel (fwd-only, no fusion penalty). The full A/B history
+lives on the :func:`layer_norm` factory below.
 
 Kernel design (one HBM read and one write per pass):
 

@@ -33,21 +33,26 @@ def make_mesh(n_devices: int | None = None,
 
 def make_data_mesh(batch_size: int, axis_name: str = "data") -> Mesh:
     """1-D data mesh whose size divides the per-step batch (a batch sharded
-    on ``data`` must split evenly; use the largest divisor of batch_size that
-    fits the device count)."""
+    on ``data`` must split evenly).
+
+    A batch smaller than the device count can only occupy ``batch_size``
+    chips (one sample each) — that is inherent, not a misconfiguration, so
+    it is allowed (used by small eval/test runs). A batch *larger* than the
+    device count that does not divide it, however, would silently idle chips
+    while the rest carry more samples (batch 20 on 8 devices would train on
+    4 chips at half throughput) — the reference hard-asserts divisibility
+    for the same reason (per-GPU batch x world_size), and so do we."""
     n = len(jax.devices())
-    best = 1
-    for k in range(min(n, batch_size), 0, -1):
-        if batch_size % k == 0:
-            best = k
-            break
-    if best < n:
-        import logging
-        logging.getLogger(__name__).warning(
-            "batch size %d only divides across %d of %d devices — %d chips "
-            "will sit IDLE. Pick a batch size divisible by the device count.",
-            batch_size, best, n, n - best)
-    return make_mesh(best, axis_name)
+    if batch_size >= n:
+        if batch_size % n != 0:
+            raise ValueError(
+                f"batch size {batch_size} does not divide across the "
+                f"{n}-device mesh — this would silently idle chips. Pick a "
+                f"batch size divisible by the device count (or a batch "
+                f"smaller than it).")
+        return make_mesh(n, axis_name)
+    # batch < n: use the largest divisor of batch_size (= batch_size itself)
+    return make_mesh(batch_size, axis_name)
 
 
 def pad_batch(batch: Any, target_b: int) -> tuple[Any, int]:
@@ -83,10 +88,19 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
 
     One ``jax.device_put`` call for the whole pytree: per-leaf puts cost a
     full tunnel/RPC round-trip each (measured 64ms/step vs 9ms for the
-    batched put on the axon setup, BENCH_LOCAL_r3.txt)."""
+    batched put on the axon setup, BENCH_LOCAL_r3.txt).
+
+    Single-device meshes take a RAW device put: the NamedSharding put path
+    costs ~5x more through a tunnel (46 vs 8.6ms/step for the same bytes,
+    BENCH_LOCAL_r3 microbench) and a SingleDeviceSharding is equivalent to
+    any sharding on a 1-device mesh, so jitted steps with NamedSharding
+    in_shardings accept it without a reshard."""
+    batch = jax.tree.map(np.asarray, batch)
+    devs = mesh.devices.reshape(-1)
+    if devs.size == 1:
+        return jax.device_put(batch, devs[0])
     sh = batch_sharding(mesh, axis_name)
     rep = replicated(mesh)
-    batch = jax.tree.map(np.asarray, batch)
     shardings = jax.tree.map(lambda x: rep if np.ndim(x) == 0 else sh, batch)
     return jax.device_put(batch, shardings)
 

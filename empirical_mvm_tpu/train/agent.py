@@ -27,7 +27,9 @@ import numpy as np
 
 from empirical_mvm_tpu.core.config import RunConfig
 from empirical_mvm_tpu.parallel.mesh import (is_main_process, make_data_mesh,
-                                             make_mesh, pad_batch, shard_batch)
+                                             make_mesh, pad_batch,
+                                             param_shardings, replicated,
+                                             shard_batch)
 from empirical_mvm_tpu.train import losses as L
 from empirical_mvm_tpu.train.checkpoint import save_params
 from empirical_mvm_tpu.train.optimizer import build_optimizer
@@ -78,6 +80,17 @@ class AgentBase:
             grad_accum=tc.grad_accum, freeze_prefixes=tuple(tc.freeze),
             **kwargs)
         self.state = create_train_state(params, self.tx)
+        # state shardings: replicated (reference DDP-equivalent) or ZeRO-3
+        # FSDP over the data mesh when TrainConfig.fsdp is set. Param AND
+        # optimizer-moment leaves shard their largest divisible dim; XLA
+        # all-gathers params just-in-time inside the jitted step.
+        shard_rule = lambda tree: param_shardings(   # noqa: E731
+            self.mesh, tree, fsdp=tc.fsdp, min_size_to_shard=tc.fsdp_min_size)
+        self.state_sh = TrainState(
+            params=shard_rule(self.state.params),
+            opt_state=shard_rule(self.state.opt_state),
+            step=replicated(self.mesh))
+        self.state = jax.device_put(self.state, self.state_sh)
         self.global_step = 0
         self.meters: dict[str, RunningMeter] = defaultdict(RunningMeter)
         self.log: dict[str, list] = defaultdict(list)
@@ -204,7 +217,8 @@ class AgentBase:
         path = os.path.join(self.cfg.path_output, f"{tag}.state")
         if not (os.path.exists(path) or os.path.exists(path + ".backup")):
             return False
-        self.state = load_train_state(path, self.state)
+        self.state = jax.device_put(load_train_state(path, self.state),
+                                    self.state_sh)
         self.global_step = int(self.state.step)
         logger.info("resumed from %s at step %d", path, self.global_step)
         return True
@@ -245,12 +259,70 @@ class PretrainAgent(AgentBase):
 
     def _build_steps(self):
         self.train_step = make_pretrain_train_step(
-            self.model, self.tx, mesh=self.mesh)
+            self.model, self.tx, mesh=self.mesh,
+            state_shardings=self.state_sh)
+
+    def make_val_fn(self, val_loaders: dict[str, Iterable],
+                    max_batches: int = 16) -> Callable:
+        """Validation-loss evaluator over the val loaders (ref:
+        main_pretrain_yaml.py:106-149 ``evaluate``, called at startup and
+        every eval_step at :168-176,286-293). Deterministic forward (no
+        dropout) with a FIXED masking key, so the same tokens/patches are
+        masked at every eval and the val losses are comparable across steps.
+        Tail batches are padded to the train batch size (padding rows repeat
+        the last sample; like the reference's drop_last=False loader they
+        shift the mean slightly, identically at every eval)."""
+        from empirical_mvm_tpu.parallel.mesh import batch_sharding
+        model = self.model
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+
+        def val_step(params, batch, rng):
+            return model.apply(
+                {"params": params}, batch["img"], batch["txt"], batch["mask"],
+                vq=batch.get("vq"), hog=batch.get("hog"),
+                corrupt=batch.get("corrupt"), deterministic=True,
+                method=model.losses, rngs={"mask": rng})
+
+        jit_val = jax.jit(val_step,
+                          in_shardings=(self.state_sh.params, bsh, rep))
+        fixed_rng = jax.random.PRNGKey(self.cfg.train.seed + 1)
+
+        def eval_fn(params):
+            out: dict[str, float] = {}
+            for name, dl in val_loaders.items():
+                sums: dict[str, float] = defaultdict(float)
+                cnt = 0
+                for batch, _ in zip(iter(dl), range(max_batches)):
+                    db = self._device_batch(batch)
+                    db, _ = pad_batch(db, self.cfg.train.size_batch)
+                    sb = shard_batch(self.mesh, db)
+                    ls = jit_val(params, sb, fixed_rng)
+                    for k, v in ls.items():
+                        sums[k] += float(v)
+                    cnt += 1
+                for k, s in sums.items():
+                    out[f"{name}/{k}"] = s / max(cnt, 1)
+            return out
+
+        return eval_fn
+
+    def _log_eval(self, results: dict[str, float]) -> None:
+        logger.info("val @%d: %s",
+                    self.global_step,
+                    {k: round(v, 4) for k, v in results.items()})
+        if self.metrics is not None:
+            self.metrics.log({f"val_{k}": v for k, v in results.items()},
+                             self.global_step)
 
     def run_meta(self, meta_loader, num_steps: int,
                  eval_every: int = 0, eval_fn=None) -> None:
-        """MetaLoader-driven pretraining (ref: main_pretrain_yaml.py:151-194)."""
+        """MetaLoader-driven pretraining (ref: main_pretrain_yaml.py:151-194).
+        ``eval_fn(params) -> dict`` runs zero-shot at startup and every
+        ``eval_every`` steps (ref: main_pretrain_yaml.py:168-176,286-293)."""
         from empirical_mvm_tpu.data.loader import DevicePrefetcher
+        if eval_fn is not None:
+            self._log_eval(eval_fn(self.state.params))   # zero-shot
         stream = DevicePrefetcher(
             iter(meta_loader),
             lambda b: shard_batch(self.mesh, self._device_batch(b)))
@@ -272,8 +344,7 @@ class PretrainAgent(AgentBase):
                                      self.global_step)
             if eval_every and self.global_step % eval_every == 0:
                 if eval_fn is not None:
-                    logger.info("eval @%d: %s", self.global_step,
-                                eval_fn(self.state.params))
+                    self._log_eval(eval_fn(self.state.params))
                 self.save(self.global_step, tag="pretrain")
                 self.save_resumable()
         for t, dls in pending:
@@ -293,47 +364,48 @@ def make_supervised_agent(loss_kind: str):
     class SupervisedAgent(AgentBase):
         def _build_steps(self):
             import optax
-            from empirical_mvm_tpu.parallel.mesh import (batch_sharding,
-                                                         replicated)
+            from empirical_mvm_tpu.parallel.mesh import batch_sharding
             model, tx, temp = self.model, self.tx, self.cfg.train.temp
 
             def step_fn(state, batch, rng):
                 rng_step = jax.random.fold_in(rng, state.step)
 
                 def loss_fn(p):
-                    if loss_kind == "nce":
-                        scores = model.apply(
-                            {"params": p}, batch["img"], batch["txt"],
-                            batch["mask"], deterministic=False,
-                            rngs={"dropout": rng_step})
-                        return L.norm_softmax_loss(scores, temp), scores
-                    out = model.apply(
+                    out, mut = model.apply(
                         {"params": p}, batch["img"], batch["txt"],
                         batch["mask"], deterministic=False,
-                        rngs={"dropout": rng_step})
+                        rngs={"dropout": rng_step},
+                        mutable=["bn_stats"])   # train-mode BN batch stats
+                    bn = mut.get("bn_stats", {})
+                    if loss_kind == "nce":
+                        return L.norm_softmax_loss(out, temp), bn
                     if loss_kind == "mlm":
                         return L.cross_entropy_ignore(
-                            out, batch["mask_ans"]), out
-                    return L.cross_entropy_ignore(out, batch["ans"]), out
+                            out, batch["mask_ans"]), bn
+                    return L.cross_entropy_ignore(out, batch["ans"]), bn
 
-                (loss, _), grads = jax.value_and_grad(
+                (loss, bn_stats), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params)
                 updates, opt_state = tx.update(grads, state.opt_state,
                                                state.params)
                 params = optax.apply_updates(state.params, updates)
+                if bn_stats:   # momentum-update BN running stats (torch
+                    from empirical_mvm_tpu.models.encoders2d import \
+                        fold_bn_stats   # semantics, ref resnet50.py:18-21)
+                    params = fold_bn_stats(params, bn_stats)
                 return (TrainState(params, opt_state, state.step + 1),
                         {"total": loss})
 
             rep = replicated(self.mesh)
             bsh = batch_sharding(self.mesh)
-            st_sh = TrainState(params=rep, opt_state=rep, step=rep)
+            st_sh = self.state_sh   # replicated, or FSDP when cfg.train.fsdp
             self.train_step = jax.jit(
                 step_fn, in_shardings=(st_sh, bsh, rep),
                 out_shardings=(st_sh, rep), donate_argnums=(0,))
             self.eval_forward = jax.jit(
                 lambda p, img, txt, mask: model.apply(
                     {"params": p}, img, txt, mask, deterministic=True),
-                in_shardings=(rep, bsh, bsh, bsh))
+                in_shardings=(st_sh.params, bsh, bsh, bsh))
 
     return SupervisedAgent
 

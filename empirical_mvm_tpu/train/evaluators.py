@@ -35,15 +35,40 @@ def rank_metrics(score_matrix: np.ndarray, gt_idx: Sequence[int]) -> dict:
 
 
 def retrieval_two_stage_eval(
-    model, params, dataset, *, chunk_size: int = 64,
+    model, params, dataset, *, chunk_size: int = 512,
+    encode_batch: int = 32, mesh=None,
     progress: Callable[[str], None] | None = None,
 ) -> dict:
     """Full MSRVTT-style eval: encode every (text, video), cross-score all
-    pairs, rank (ref: eval_retrieval.py + eval_retrieval_tsv.py __main__)."""
+    pairs, rank (ref: eval_retrieval.py + eval_retrieval_tsv.py __main__).
+
+    Mesh-parallel: the reference spreads the |T| x |V| cross-scoring over
+    GPUs with ``T.nn.DataParallel`` (ref: eval_retrieval_tsv.py:45); here
+    BOTH stages run data-sharded over the device mesh. Stage-1 encode
+    batches (``encode_batch`` clips) and stage-2 pair chunks (``chunk_size``
+    pairs) are padded up to a mesh multiple and sharded on their leading
+    axis. Stage 2 keeps the full feature banks device-resident (replicated)
+    and gathers each chunk's (text, video) rows ON DEVICE from int32 pair
+    indices — host->device traffic is O((|T|+|V|) * D + |pairs| * 8 bytes),
+    not O(|pairs| * D)."""
+    from empirical_mvm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                 replicated)
+    if mesh is None:
+        mesh = make_mesh()
+    n_mesh = mesh.shape["data"]
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    params = jax.device_put(params, rep)
+
+    def _pad_to_mesh(b: int) -> int:
+        return max(-(-b // n_mesh) * n_mesh, n_mesh)
+
+    enc_bs = _pad_to_mesh(encode_batch)
+    chunk_size = _pad_to_mesh(chunk_size)
+
     enc = jax.jit(lambda p, img, txt, mask: model.apply(
-        {"params": p}, img, txt, mask, method=model.encode))
-    score = jax.jit(lambda p, fi, mi, ft, mt: model.apply(
-        {"params": p}, fi, mi, ft, mt, method=model.score_pairs))
+        {"params": p}, img, txt, mask, method=model.encode),
+        in_shardings=(rep, bsh, bsh, bsh))
 
     # stage 1, batched: group items by clip count (the clip axis is a static
     # shape) so each jitted encode sees full batches instead of one video at
@@ -55,24 +80,24 @@ def retrieval_two_stage_eval(
         by_clips.setdefault(it["img"].shape[0], []).append(i)
 
     feats: list[dict] = [None] * n
-    enc_bs = max(chunk_size // 8, 1)
     done = 0
     for n_clips, idxs in by_clips.items():
         for c0 in range(0, len(idxs), enc_bs):
             sel = idxs[c0:c0 + enc_bs]
             pad = enc_bs - len(sel)
             sel_p = sel + [sel[-1]] * pad
-            img = jnp.asarray(np.stack([items[i]["img"] for i in sel_p]))
-            txt = jnp.asarray(np.stack([items[i]["txt"] for i in sel_p]))
-            mask = jnp.asarray(np.stack([items[i]["mask"] for i in sel_p]))
+            img = np.stack([items[i]["img"] for i in sel_p])
+            txt = np.stack([items[i]["txt"] for i in sel_p])
+            mask = np.stack([items[i]["mask"] for i in sel_p])
             fi, mi, ft, mt = enc(params, img, txt, mask)
+            fi, mi, ft, mt = (np.asarray(x) for x in (fi, mi, ft, mt))
             for j, i in enumerate(sel):
-                feats[i] = {"fi": np.asarray(fi[j]), "mi": np.asarray(mi[j]),
-                            "ft": np.asarray(ft[j]), "mt": np.asarray(mt[j]),
+                feats[i] = {"fi": fi[j], "mi": mi[j],
+                            "ft": ft[j], "mt": mt[j],
                             "vid": items[i]["vid"], "tid": items[i]["tid"]}
             done += len(sel)
             if progress:
-                progress(f"stage1 {done}/{n}")
+                progress(f"stage1 {done}/{n} (mesh={n_mesh})")
 
     vids = sorted({f["vid"] for f in feats})
     vid2col = {v: j for j, v in enumerate(vids)}
@@ -83,24 +108,41 @@ def retrieval_two_stage_eval(
     vfeats = [vid_feat[v] for v in vids]
 
     n_txt, n_vid = len(feats), len(vids)
+    # device-resident feature banks, replicated once
+    bank = jax.device_put(
+        {"fi": np.stack([v["fi"] for v in vfeats]),
+         "mi": np.stack([v["mi"] for v in vfeats]),
+         "ft": np.stack([f["ft"] for f in feats]),
+         "mt": np.stack([f["mt"] for f in feats])}, rep)
+
+    score = jax.jit(
+        lambda p, bk, ti, vj: model.apply(
+            {"params": p}, bk["fi"][vj], bk["mi"][vj],
+            bk["ft"][ti], bk["mt"][ti], method=model.score_pairs),
+        in_shardings=(rep, rep, bsh, bsh))
+
+    ti_all, vj_all = np.meshgrid(np.arange(n_txt, dtype=np.int32),
+                                 np.arange(n_vid, dtype=np.int32),
+                                 indexing="ij")
+    ti_all, vj_all = ti_all.ravel(), vj_all.ravel()
+    n_pairs = n_txt * n_vid
     scores = np.zeros((n_txt, n_vid), np.float32)
-    pairs = [(ti, vj) for ti in range(n_txt) for vj in range(n_vid)]
-    for c0 in range(0, len(pairs), chunk_size):
-        chunk = pairs[c0:c0 + chunk_size]
-        pad = chunk_size - len(chunk)
-        chunk_p = chunk + [chunk[-1]] * pad
-        fi = jnp.asarray(np.stack([vfeats[vj]["fi"] for _, vj in chunk_p]))
-        mi = jnp.asarray(np.stack([vfeats[vj]["mi"] for _, vj in chunk_p]))
-        ft = jnp.asarray(np.stack([feats[ti]["ft"] for ti, _ in chunk_p]))
-        mt = jnp.asarray(np.stack([feats[ti]["mt"] for ti, _ in chunk_p]))
-        out = np.asarray(score(params, fi, mi, ft, mt))
-        for k, (ti, vj) in enumerate(chunk):
-            scores[ti, vj] = out[k]
-        if progress and c0 % (chunk_size * 50) == 0:
-            progress(f"stage2 {c0}/{len(pairs)}")
+    for c0 in range(0, n_pairs, chunk_size):
+        ti = ti_all[c0:c0 + chunk_size]
+        vj = vj_all[c0:c0 + chunk_size]
+        k = len(ti)
+        if k < chunk_size:   # pad the tail chunk to the static shape
+            ti = np.concatenate([ti, np.full(chunk_size - k, ti[-1], np.int32)])
+            vj = np.concatenate([vj, np.full(chunk_size - k, vj[-1], np.int32)])
+        out = np.asarray(score(params, bank, ti, vj))
+        scores[ti[:k], vj[:k]] = out[:k]
+        if progress and (c0 // chunk_size) % 50 == 0:
+            progress(f"stage2 {c0}/{n_pairs} (mesh={n_mesh})")
 
     gt = [vid2col[dataset.gt_txt2vid[f["tid"]]] for f in feats]
-    return rank_metrics(scores, gt)
+    out = rank_metrics(scores, gt)
+    out["_mesh_devices"] = float(n_mesh)
+    return out
 
 
 def qamc_accuracy(logits: np.ndarray, answers: np.ndarray) -> float:

@@ -36,6 +36,7 @@ def make_pretrain_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh | None = None,
     donate: bool = True,
+    state_shardings: "TrainState | None" = None,
 ) -> Callable:
     """Build the jitted pretrain step.
 
@@ -49,19 +50,23 @@ def make_pretrain_train_step(
         drop_rng, mask_rng = jax.random.split(rng_step)
 
         def loss_fn(params):
-            ls = model.apply(
+            ls, mut = model.apply(
                 {"params": params},
                 batch["img"], batch["txt"], batch["mask"],
                 vq=batch.get("vq"), hog=batch.get("hog"),
                 corrupt=batch.get("corrupt"),
                 deterministic=False,
                 method=model.losses,
-                rngs={"dropout": drop_rng, "mask": mask_rng})
-            return ls["total"], ls
+                rngs={"dropout": drop_rng, "mask": mask_rng},
+                mutable=["bn_stats"])   # train-mode BN batch statistics
+            return ls["total"], (ls, mut.get("bn_stats", {}))
 
-        grads, ls = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (ls, bn_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if bn_stats:   # momentum-update BN running stats (torch semantics)
+            from empirical_mvm_tpu.models.encoders2d import fold_bn_stats
+            params = fold_bn_stats(params, bn_stats)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
         return new_state, ls
@@ -71,7 +76,11 @@ def make_pretrain_train_step(
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    state_sh = TrainState(params=rep, opt_state=rep, step=rep)
+    # replicated state = reference DDP-equivalent; a TrainState of
+    # NamedShardings (from AgentBase / parallel.mesh.param_shardings with
+    # fsdp=True) gives ZeRO-3-style param+moment sharding instead
+    state_sh = (state_shardings if state_shardings is not None
+                else TrainState(params=rep, opt_state=rep, step=rep))
     return jax.jit(
         step_fn,
         in_shardings=(state_sh, bsh, rep),

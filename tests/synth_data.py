@@ -97,7 +97,7 @@ def make_downstream(data_dir: str, ds_name: str, task: str, *,
 
 def make_pretrain(data_dir: str, ds_name: str = "webvid2.5m", *,
                   n_videos: int = 8, n_frames: int = 4, n_parts: int = 2,
-                  seed: int = 0) -> None:
+                  n_val: int = 4, seed: int = 0) -> None:
     os.makedirs(data_dir, exist_ok=True)
     rs = np.random.RandomState(seed)
     txt = {}
@@ -110,8 +110,16 @@ def make_pretrain(data_dir: str, ds_name: str = "webvid2.5m", *,
                 frames = [_jpeg_b64(rs) for _ in range(n_frames)]
                 f.write("\t".join([vid] + frames) + "\n")
                 txt[vid] = [f"a red cat runs {i}"]
+    txt_val = {}
+    if n_val:
+        with open(os.path.join(data_dir, f"{ds_name}_val_0.tsv"), "w") as f:
+            for i in range(n_val):
+                vid = f"valclip_{i}"
+                frames = [_jpeg_b64(rs) for _ in range(n_frames)]
+                f.write("\t".join([vid] + frames) + "\n")
+                txt_val[vid] = [f"a blue dog sits {i}"]
     with open(os.path.join(data_dir, f"txt_{ds_name}.json"), "w") as f:
-        json.dump({"train": txt}, f)
+        json.dump({"train": txt, "val": txt_val}, f)
 
 
 TINY_RUN_OVERRIDES = {

@@ -96,6 +96,20 @@ def test_cli_pretrain(synth_env):
     run_dir = _latest_run_dir(str(tmp / "out"))
     assert any("pretrain" in f and f.endswith(".msgpack")
                for f in os.listdir(run_dir))
+    # validation eval (ref: main_pretrain_yaml.py:168-176,286-293): val
+    # losses logged zero-shot at step 0 AND at later eval steps, and they
+    # move as training progresses
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    val_recs = [r for r in recs
+                if any(k.startswith("val_") for k in r)]
+    assert val_recs, "no val metrics logged"
+    steps = sorted({r["step"] for r in val_recs})
+    assert steps[0] == 0 and len(steps) >= 2, steps
+    key = next(k for k in val_recs[0] if k.endswith("/total"))
+    vals = {r["step"]: r[key] for r in val_recs}
+    assert vals[steps[0]] != vals[steps[-1]], \
+        "val loss did not move across eval steps"
 
 
 def test_cli_pretrain_2d_clip(synth_env):

@@ -16,11 +16,19 @@ from empirical_mvm_tpu.parallel.mesh import (make_data_mesh, make_mesh,
 
 def test_make_data_mesh_divides_batch():
     assert make_data_mesh(16).shape["data"] == 8   # 8 CPU devices
-    assert make_data_mesh(6).shape["data"] == 6
+    assert make_data_mesh(6).shape["data"] == 6    # batch < devices: inherent
     assert make_data_mesh(5).shape["data"] == 5
     assert make_data_mesh(7).shape["data"] == 7
     assert make_data_mesh(1).shape["data"] == 1
-    assert make_data_mesh(9).shape["data"] == 3
+    assert make_data_mesh(24).shape["data"] == 8
+
+
+def test_make_data_mesh_rejects_indivisible_batch():
+    # batch >= devices but indivisible would silently idle chips (VERDICT r3
+    # weak #10: batch 20 on 8 devices trained on 4 chips at half throughput)
+    for bad in (9, 20, 12):
+        with pytest.raises(ValueError, match="does not divide"):
+            make_data_mesh(bad)
 
 
 def test_pad_batch():

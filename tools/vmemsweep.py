@@ -35,7 +35,10 @@ STAGES = {
 
 def bench(fn, args, iters=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    # host-readback sync for warmup too: block_until_ready does not reliably
+    # block through the axon tunnel (BENCH_LOCAL_r2 notes), so a plain block
+    # lets warmup bleed into the timed window
+    float(jnp.sum(out.astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -96,12 +99,16 @@ def main():
     args = ap.parse_args()
     keys = ([0, 1, 2, 3, "bert"] if args.stage == "all"
             else [args.stage if args.stage == "bert" else int(args.stage)])
+    n_failed = 0
     for key in keys:
         try:
             run_stage(key, args.iters)
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
+            n_failed += 1
             print(f"stage{key} FAILED: {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
+    if n_failed:   # scripted sweeps must see stage failures in the exit code
+        sys.exit(1)
 
 
 if __name__ == "__main__":
