@@ -682,7 +682,7 @@ packed_self_attention.defvjp(_psa_fwd, _psa_bwd)
 
 
 def _lane_bytes(g, n, c, nh, backward, with_bias=True, itemsize=2,
-                with_mask=True):
+                with_mask=True, n_windows=0):
     """Per-program VMEM estimate. Grid-streamed blocks (non-constant index
     maps) are DOUBLE-buffered by the pipeline; the bias (and dbias
     accumulator) have constant indices and stay single. The unrolled head
@@ -691,10 +691,18 @@ def _lane_bytes(g, n, c, nh, backward, with_bias=True, itemsize=2,
     the per-row mask is already counted in ``maskb``). ``itemsize`` is the
     x3/do element size (2 for the bf16 production path; f32 callers — e.g.
     the on-chip parity tests — need 4 or the chosen g overflows scoped
-    VMEM, caught live as a 16.19M>16M Mosaic stack OOM on (4,232,2304))."""
+    VMEM, caught live as a 16.19M>16M Mosaic stack OOM on (4,232,2304)).
+    ``n_windows``: the shift-mask period; when 1 < n_windows <= g the whole
+    mask is RESIDENT (constant index map, single-buffered) and the kernel
+    tile-adds it, so its footprint stops growing with g."""
     inb = (4 if backward else 3) * g * n * c * itemsize * 2   # x2 dbuf
     outb = g * n * (3 * c if backward else c) * itemsize * 2  # x2 dbuf
-    maskb = g * n * n * 4 * 2 if with_mask else 0         # streamed f32, x2
+    if not with_mask:
+        maskb = 0
+    elif 1 < n_windows <= g:
+        maskb = n_windows * n * n * 4                     # resident f32
+    else:
+        maskb = g * n * n * 4 * 2                         # streamed f32, x2
     biasb = (nh * n * n * 4 * (2 if backward else 1)      # resident f32
              if with_bias else 0)
     temps = (4 if backward else 2) * g * n * n * 4        # live f32 (N, N)
@@ -707,11 +715,14 @@ def _lane_budget():
 
 
 def lane_attention_fits(b_, n, c, nh, n_windows) -> bool:
-    """Whether the lane kernel's WORST pass (backward at g=1) fits VMEM —
-    e.g. swin stage 3 (nh=32: a 4.9MB resident bias + its dbias twin) does
-    not, and routes to the packed path instead."""
+    """Whether the lane FORWARD fits VMEM at g=1. Round-4 change: this used
+    to require the backward to fit too, sending swin stage 3 (nh=32: a
+    4.9MB resident bias + its dbias twin) to the packed path for BOTH
+    passes; now the backward falls back to the packed kernel internally
+    (see _lane_bwd) and the forward — the only pass frozen teachers ever
+    run — stays lane, transpose-free."""
     return (c % 128 == 0
-            and _lane_bytes(1, n, c, nh, backward=True) <= _lane_budget())
+            and _lane_bytes(1, n, c, nh, backward=False) <= _lane_budget())
 
 
 def lane_sa_attention_fits(b, n, c, nh) -> bool:
@@ -727,16 +738,40 @@ def lane_sa_attention_fits(b, n, c, nh) -> bool:
 
 
 def _lane_g(b_, n, c, nh, n_windows, backward, itemsize=2, with_mask=True):
-    """Largest window-group size g (dividing B_ and the mask period) whose
-    per-program VMEM footprint fits the budget."""
+    """Largest window-group size g whose per-program VMEM footprint fits the
+    budget. g must divide B_ and align with the shift-mask period: either
+    g divides n_windows (the mask streams per-block) or g is a MULTIPLE of
+    n_windows (the whole mask sits resident and the kernel tile-adds it —
+    round-4 change: the old g <= n_windows cap froze shifted blocks at tiny
+    program groups, e.g. g<=4 at swin stage 2, regardless of budget)."""
     budget = _lane_budget()
-    gdom = n_windows if n_windows > 1 else b_
-    g = gdom
-    while g > 1 and (gdom % g or b_ % g
-                     or _lane_bytes(g, n, c, nh, backward, itemsize=itemsize,
-                                    with_mask=with_mask) > budget):
+
+    def ok(g):
+        if b_ % g:
+            return False
+        if with_mask and n_windows > 1 and (g % n_windows
+                                            and n_windows % g):
+            return False
+        return _lane_bytes(g, n, c, nh, backward, itemsize=itemsize,
+                           with_mask=with_mask,
+                           n_windows=n_windows if with_mask else 0) <= budget
+
+    g = b_
+    while g > 1 and not ok(g):
         g -= 1
     return max(g, 1)
+
+
+def _lane_mask_add(s, m):
+    """Add the shift mask to per-head scores s (G, N, N). m is (G, N, N)
+    (streamed per-block), (1, N, N) (single window), or (nW, N, N) resident
+    with G a multiple of nW — windows are consecutive, so a leading-dim
+    reshape tiles the periods (vreg broadcast, nothing materializes)."""
+    g, n, _ = s.shape
+    nw = m.shape[0]
+    if nw in (g, 1):
+        return s + m
+    return (s.reshape(g // nw, nw, n, n) + m[None]).reshape(g, n, n)
 
 
 def _lane_fwd_kernel(*refs, scale, nh, has_mask=True):
@@ -763,7 +798,9 @@ def _lane_fwd_kernel(*refs, scale, nh, has_mask=True):
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)       # (G, N, N) f32
-        s = s + bias_ref[h][None] + m if has_mask else s + bias_ref[h][None]
+        s = s + bias_ref[h][None]
+        if has_mask:
+            s = _lane_mask_add(s, m)
         p = jax.nn.softmax(s, axis=-1).astype(va.dtype)
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -804,7 +841,9 @@ def _lane_bwd_kernel(*refs, scale, nh, has_mask=True):
         s = jax.lax.dot_general(
             qs, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        s = s + bias_ref[h][None] + m if has_mask else s + bias_ref[h][None]
+        s = s + bias_ref[h][None]
+        if has_mask:
+            s = _lane_mask_add(s, m)
         p = jax.nn.softmax(s, axis=-1)                # (G, N, N) f32
         p_lo = p.astype(dtype)
         dv = jax.lax.dot_general(p_lo, do, (((1,), (1,)), ((0,), (0,))),
@@ -829,7 +868,12 @@ def _lane_specs(b_, n, c, n_windows, g):
                                  memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((g, n, c), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    if n_windows > 1:
+    if n_windows > 1 and g >= n_windows:
+        # g spans >=1 full mask periods: the whole (nW, N, N) mask stays
+        # resident (constant index) and the kernel tile-adds it
+        mask_spec = pl.BlockSpec((n_windows, n, n), lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    elif n_windows > 1:
         mask_spec = pl.BlockSpec((g, n, n),
                                  lambda b: (b % (n_windows // g), 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -903,6 +947,19 @@ def _lane_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
     b_, n, c3 = x3.shape
     c = c3 // 3
     nh = n_heads
+    if _lane_bytes(1, n, c, nh, backward=True, itemsize=x3.dtype.itemsize,
+                   with_mask=has_mask, n_windows=n_windows) > _lane_budget():
+        # bias-heavy shapes (swin stage 3: the resident dbias accumulator
+        # twin blows the budget even at g=1): run only the BACKWARD through
+        # the packed kernel on a transposed view — the forward stayed lane
+        # (transpose-free), and these shapes are tiny (B_=16 at stage 3)
+        hd = c // nh
+        qkv = x3.reshape(b_, n, 3 * nh, hd).transpose(0, 2, 1, 3)
+        do_p = do.reshape(b_, n, nh, hd).transpose(0, 2, 1, 3)
+        dqkv, dbias, _ = _packed_bwd(n_windows, nh, scale, interpret,
+                                     has_mask, (qkv, bias, mask), do_p)
+        dx3 = dqkv.transpose(0, 2, 1, 3).reshape(b_, n, c3)
+        return dx3, dbias, jnp.zeros_like(mask)
     bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     g = _lane_g(b_, n, c, nh, n_windows, backward=True,

@@ -386,3 +386,90 @@ def test_lane_swin_module_matches_xla(monkeypatch):
         m_lane.apply({"params": params}, xx) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                atol=3e-3, rtol=1e-2)
+
+
+def test_lane_kernel_resident_mask_multi_period(monkeypatch):
+    """Round-4 change: g may exceed the shift-mask period n_windows (the
+    whole mask goes VMEM-resident and the kernel tile-adds it). Force a
+    budget where _lane_g picks g = k*nw (k > 1) and check fwd + grads
+    against the XLA reference."""
+    monkeypatch.setenv("EMVM_LANE_BUDGET_MB", "64")
+    from empirical_mvm_tpu.ops.window_attention import (
+        _lane_g, lane_window_attention)
+    rs = np.random.RandomState(2)
+    nh, n, hd, nw, b = 4, 49, 32, 4, 8
+    b_ = b * nw
+    c = nh * hd
+    assert _lane_g(b_, n, c, nh, nw, backward=False) > nw
+    assert _lane_g(b_, n, c, nh, nw, backward=True) > nw
+    x3 = jnp.asarray(rs.randn(b_, n, 3 * c).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
+    mask = np.zeros((nw, n, n), np.float32)
+    mask[1::2, :10, 10:] = -100.0
+    mask = jnp.asarray(mask)
+    scale = hd ** -0.5
+    tgt = jnp.asarray(rs.randn(b_, n, c).astype(np.float32))
+
+    def loss_lane(x3, bias):
+        o = lane_window_attention(x3, bias, mask, nw, nh, scale, True)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_ref(x3, bias):
+        qkv = x3.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        o = window_attention_reference(qkv[0], qkv[1], qkv[2], bias, mask,
+                                       nw, scale)
+        o = o.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return jnp.sum((o - tgt) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_lane(x3, bias)), np.asarray(loss_ref(x3, bias)),
+        rtol=1e-4)
+    g_l = jax.grad(loss_lane, argnums=(0, 1))(x3, bias)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(x3, bias)
+    for a, b2, name in zip(g_l, g_r, ("x3", "bias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=3e-4, rtol=1e-3, err_msg=name)
+
+
+def test_lane_kernel_packed_bwd_fallback(monkeypatch):
+    """Round-4 change: when the lane backward doesn't fit VMEM at g=1 (swin
+    stage 3's resident dbias twin), _lane_bwd reroutes through the packed
+    kernel on a transposed view while the forward stays lane. Force the
+    budget between the fwd and bwd footprints and check grads."""
+    monkeypatch.setenv("EMVM_LANE_BUDGET_MB", "2")
+    from empirical_mvm_tpu.ops.window_attention import (
+        _lane_budget, _lane_bytes, lane_window_attention)
+    nh, n, hd, nw = 8, 49, 128, 4
+    b_ = nw
+    c = nh * hd
+    assert _lane_bytes(1, n, c, nh, backward=False, itemsize=4,
+                       n_windows=nw) <= _lane_budget()
+    assert _lane_bytes(1, n, c, nh, backward=True, itemsize=4,
+                       n_windows=nw) > _lane_budget()
+    rs = np.random.RandomState(3)
+    x3 = jnp.asarray(rs.randn(b_, n, 3 * c).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
+    mask = np.zeros((nw, n, n), np.float32)
+    mask[1::2, :10, 10:] = -100.0
+    mask = jnp.asarray(mask)
+    scale = hd ** -0.5
+    tgt = jnp.asarray(rs.randn(b_, n, c).astype(np.float32))
+
+    def loss_lane(x3, bias):
+        o = lane_window_attention(x3, bias, mask, nw, nh, scale, True)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_ref(x3, bias):
+        qkv = x3.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        o = window_attention_reference(qkv[0], qkv[1], qkv[2], bias, mask,
+                                       nw, scale)
+        o = o.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return jnp.sum((o - tgt) ** 2)
+
+    g_l = jax.grad(loss_lane, argnums=(0, 1))(x3, bias)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(x3, bias)
+    for a, b2, name in zip(g_l, g_r, ("x3", "bias")):
+        # hd=128 dot sums: f32 summation-order noise reaches ~8e-4 on O(3)
+        # gradient entries
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=1.5e-3, rtol=1e-2, err_msg=name)

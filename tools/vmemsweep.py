@@ -56,7 +56,7 @@ def run_stage(key, iters):
     if key == "bert":
         b, n, c, nh, _ = STAGES[key]
         x3 = jnp.asarray(rng.standard_normal((b, n, 3 * c)), jnp.bfloat16)
-        mask = jnp.zeros((b, n), jnp.float32)
+        mask = jnp.zeros((b, n, n), jnp.float32)
         seed = jnp.zeros((1,), jnp.uint32)
         scale = (c // nh) ** -0.5
         gf = wa._lane_sa_g(b, n, c, nh, 0.0, backward=False)
