@@ -59,12 +59,23 @@ def get_window_size(
     return tuple(use_window), tuple(use_shift)
 
 
-def window_partition(x: jax.Array, window_size: Sequence[int]) -> jax.Array:
-    """(B, D, H, W, C) -> (B*nW, wd*wh*ww, C) (ref: visbackbone/video_swin.py:84-88)."""
+def window_partition(x: jax.Array, window_size: Sequence[int],
+                     t_split: int = 1) -> jax.Array:
+    """(B, D, H, W, C) -> (B*nW, wd*wh*ww, C) (ref: visbackbone/video_swin.py:84-88).
+
+    ``t_split=f > 1`` regroups the window rows as an explicit leading
+    temporal axis — (B*nW, f, (wd/f)*wh*ww, C) — at identical cost (the
+    window's row order is (t, i, j), so this is a pure row-major reshape of
+    the same transposed array). The t-sliced lane kernel consumes this 4D
+    form directly: Mosaic block shapes need the second-minor dim to equal
+    the array dim, which (…, 49, C) satisfies and a 49-row slice of a
+    196-row array does not."""
     b, d, h, w, c = x.shape
     wd, wh, ww = window_size
     x = x.reshape(b, d // wd, wd, h // wh, wh, w // ww, ww, c)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    if t_split > 1:
+        return x.reshape(-1, t_split, (wd // t_split) * wh * ww, c)
     return x.reshape(-1, wd * wh * ww, c)
 
 
@@ -256,30 +267,50 @@ class WindowAttention3D(nn.Module):
 
         five_d = x.ndim == 5
         t_fold = 1
+        tsliced = False
         if five_d:
             assert window_eff is not None
             wd, wh, ww = window_eff
             b5, dp, hp, wp, _ = x.shape
             n = wd * wh * ww
             # Superwindow fold (per-frame 2D swins, e.g. the frozen 2D
-            # feature teacher): T=1 windows give N=49 — tiny programs and
-            # 49-lane attention shapes that waste the MXU. Fold ``f``
-            # temporal slices into one N=f*49 superwindow and forbid
-            # cross-slice attention with an exact additive block-diagonal
-            # -1e9 mask (exp(-1e9)=0 in fp32 ⇒ bitwise block-diagonal
-            # probs): identical math, f-fold fewer programs, flagship-tuned
-            # N=196 shapes. The T-shift is always 0 when wd==1 (clamped), so
-            # per-window shift masks are t-independent and tile cleanly.
-            if use_fused and wd == 1 and dp > 1:
+            # feature teacher): T=1 windows give N=49 — tiny programs whose
+            # partition transposes are slower than the 196-row folded form
+            # (measured both ways, rounds 3-4). Fold ``f`` temporal slices
+            # into one window LAYOUT; on the lane path the kernel then runs
+            # per-slice (N, N) attention via a t grid dimension (round 4 —
+            # the earlier block-diagonal -1e9 superwindow computed 4x the
+            # score elements, 3/4 filler, and the kernels are compute-bound
+            # on exactly that (N, N) work). The packed fallback keeps the
+            # -1e9 expansion. The T-shift is always 0 when wd==1 (clamped),
+            # so per-window shift masks are t-independent.
+            if (use_fused and wd == 1 and dp > 1
+                    and not _os.environ.get("EMVM_NO_TFOLD")):
                 for f in (4, 2):
                     if dp % f == 0 and f * n <= 196:
                         t_fold = f
                         break
+            if t_fold > 1:
+                # round 4: the lane kernel runs the fold natively — a t
+                # grid dimension over an explicit (B_, f, n, C) temporal
+                # axis, per-slice (n, n) scores — instead of the
+                # block-diagonal -1e9 superwindow whose (fn, fn) score
+                # matrix was 3/4 filler VPU/MXU work. Decide here so the
+                # partition can emit the 4D layout (same transpose).
+                from empirical_mvm_tpu.ops.window_attention import (
+                    lane_attention_fits as _fits)
+                b_pred = (b5 * (dp // (wd * t_fold)) * (hp // wh)
+                          * (wp // ww))
+                nw_pred = mask.shape[0] // dp if mask is not None else 1
+                tsliced = (_fits(b_pred, n, self.dim, self.num_heads,
+                                 nw_pred)
+                           and not _os.environ.get("EMVM_PACKED_ATTN"))
             # Partition BEFORE the qkv GEMM. A single 9D qkv-before-partition
             # mega-transpose was measured SLOWER (52.2 -> 49.2 clips/s,
             # round 2): its (…, ww, 3nH, hd) sublane pattern beats two clean
             # transposes only on paper.
-            x = window_partition(x, (wd * t_fold, wh, ww))
+            x = window_partition(x, (wd * t_fold, wh, ww),
+                                 t_split=t_fold if tsliced else 1)
         b_ = x.shape[0]
         if not five_d:
             n = x.shape[1]
@@ -325,22 +356,48 @@ class WindowAttention3D(nn.Module):
                 lane_attention_fits, lane_window_attention,
                 packed_window_attention)
             n_k = n * t_fold                           # kernel window size
-            if t_fold > 1:
-                # expand bias/mask to the superwindow: diagonal t-blocks
-                # carry the real values, off-blocks are -1e9 (bias) / 0
-                # (mask); where() routes the bias gradient back to the f
-                # diagonal blocks, so the rel-pos table grad is exact
+            # has_mask=False skips the kernels' additive-mask VPU pass on
+            # UNSHIFTED blocks (half of all blocks), which previously added
+            # an all-zeros mask per score element; mask_arr stays as the
+            # VJP-signature placeholder
+            has_mask = mask is not None
+            nw_hw = (mask.shape[0] // dp if (mask is not None and t_fold > 1)
+                     else (mask.shape[0] if mask is not None else 1))
+            # the lane kernel handles the fold natively (t_slices grid dim,
+            # per-slice bias/mask — no score inflation); fit-check at the
+            # per-slice window size. ``tsliced`` was decided BEFORE the
+            # partition (the 4D window layout depends on it) — this must
+            # agree with it.
+            lane_ok = (lane_attention_fits(b_, n, c, nh, nw_hw)
+                       and not _os.environ.get("EMVM_PACKED_ATTN"))
+            assert tsliced == (t_fold > 1 and lane_ok)
+            if tsliced:
+                # per-frame masks are t-independent (t-shift is 0 when the
+                # temporal window clamps to 1): slice the first hw periods
+                if mask is not None:
+                    mask_arr = jnp.asarray(mask[:nw_hw], jnp.float32)
+                else:
+                    mask_arr = jnp.zeros((1, n, n), jnp.float32)
+                x = lane_window_attention(
+                    qkv, bias, mask_arr, nw_hw, nh, float(scale),
+                    not on_tpu, has_mask,
+                    t_slices=t_fold).astype(self.dtype)       # (B_, f, N, C)
+            elif t_fold > 1:
+                # packed fallback keeps the block-diagonal superwindow
+                # expansion: diagonal t-blocks carry the real values,
+                # off-blocks are -1e9 (bias) / 0 (mask); where() routes the
+                # bias gradient back to the f diagonal blocks, so the
+                # rel-pos table grad is exact
                 eye = np.kron(np.eye(t_fold, dtype=bool),
                               np.ones((n, n), dtype=bool))      # (Nk, Nk)
                 e = jnp.asarray(eye)
                 bias = jnp.where(e, jnp.tile(bias, (1, t_fold, t_fold)),
                                  jnp.float32(-1e9))
                 if mask is not None:
-                    hw = mask.shape[0] // dp           # t-independent masks
                     mask_arr = jnp.where(
-                        e, jnp.tile(jnp.asarray(mask[:hw], jnp.float32),
+                        e, jnp.tile(jnp.asarray(mask[:nw_hw], jnp.float32),
                                     (1, t_fold, t_fold)), 0.0)
-                    nw = hw
+                    nw = nw_hw
                 else:
                     mask_arr = jnp.zeros((1, n_k, n_k), jnp.float32)
                     nw = 1
@@ -350,17 +407,11 @@ class WindowAttention3D(nn.Module):
             else:
                 mask_arr = jnp.zeros((1, n_k, n_k), jnp.float32)
                 nw = 1
-            # has_mask=False skips the kernels' additive-mask VPU pass on
-            # UNSHIFTED blocks (half of all blocks), which previously added
-            # an all-zeros mask per score element; mask_arr stays as the
-            # VJP-signature placeholder
-            has_mask = mask is not None
-            if (lane_attention_fits(b_, n_k, c, nh, nw)
-                    and not _os.environ.get("EMVM_PACKED_ATTN")):
+            if lane_ok and not tsliced:
                 x = lane_window_attention(
                     qkv, bias, mask_arr, nw, nh, float(scale),
                     not on_tpu, has_mask).astype(self.dtype)  # (B_, Nk, C)
-            else:
+            elif not tsliced:
                 # packed fallback (EMVM_PACKED_ATTN=1 or non-128-divisible C)
                 qkv = qkv.reshape(b_, n_k, 3 * nh, head_dim)
                 qkv = qkv.transpose(0, 2, 1, 3)        # (B_, 3nH, Nk, hd)

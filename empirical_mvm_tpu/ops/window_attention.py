@@ -762,6 +762,39 @@ def _lane_g(b_, n, c, nh, n_windows, backward, itemsize=2, with_mask=True):
     return max(g, 1)
 
 
+def _lane_tsliced_specs(b_, n_base, c, n_windows, g, t_slices):
+    """Specs for the t-sliced grid (round 4): the input rides the FOLDED
+    superwindow layout as an explicit 4D (B_, f, n, 3C) array
+    (window_partition(t_split=f) — same transpose, pure-view reshape), and
+    the kernel programs see one (g, 1, n, c) temporal slice each — grid
+    (B_/g, f). This removes the folded path's 4x score inflation (3/4 of
+    the (196, 196) score matrix was -1e9 filler) with the kernel body
+    unchanged: bias and mask stay at their true (nH, n, n) / (nW, n, n)
+    shapes, no jnp.where tiling. The 4D form exists because Mosaic requires
+    a block's second-minor dim to be 8-divisible OR equal to the array dim:
+    a 49-row slice of a 196-row axis fails, a (…, 49, C) block on a
+    (…, 49, C) array passes. Temporal slices of a 2D swin never attend
+    across t (the fold's block-diagonal -1e9 mask was exact), so per-slice
+    attention IS the unfolded math."""
+    x3_spec = pl.BlockSpec((g, 1, n_base, 3 * c),
+                           lambda b, t: (b, t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, 1, n_base, c), lambda b, t: (b, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if n_windows > 1 and g >= n_windows:
+        mask_spec = pl.BlockSpec((n_windows, n_base, n_base),
+                                 lambda b, t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    elif n_windows > 1:
+        mask_spec = pl.BlockSpec((g, n_base, n_base),
+                                 lambda b, t: (b % (n_windows // g), 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((1, n_base, n_base), lambda b, t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    return x3_spec, out_spec, mask_spec
+
+
 def _lane_mask_add(s, m):
     """Add the shift mask to per-head scores s (G, N, N). m is (G, N, N)
     (streamed per-block), (1, N, N) (single window), or (nW, N, N) resident
@@ -780,14 +813,22 @@ def _lane_fwd_kernel(*refs, scale, nh, has_mask=True):
     # has_mask=False skips the mask add (unshifted blocks previously paid a
     # full (G, N, N) pass adding zeros).
     if has_mask:
-        q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref = refs
+        x3_ref, bias_ref, mask_ref, o_ref = refs
     else:
-        q_ref, k_ref, v_ref, bias_ref, o_ref = refs
-    qa = q_ref[...]                                   # (G, N, C)
-    ka = k_ref[...]
-    va = v_ref[...]
-    g, n, c = qa.shape
+        x3_ref, bias_ref, o_ref = refs
+    xa = x3_ref[...]                                  # (G, N, 3C)
+    if xa.ndim == 4:          # t-sliced (G, 1, N, 3C) block: leading squeeze
+        xa = xa.reshape(xa.shape[0], *xa.shape[2:])
+    g, n, c3 = xa.shape
+    c = c3 // 3
     hd = c // nh
+    # q/k/v are 128-aligned lane segments — free vreg-column views. One
+    # x3 ref instead of three c-segment BlockSpecs keeps the HBM reads in
+    # n*3C-byte contiguous bursts (the per-segment specs fetched 256-byte
+    # strided rows at C=128; measured ~6x off bandwidth, round 4).
+    qa = jax.lax.slice_in_dim(xa, 0, c, axis=2)
+    ka = jax.lax.slice_in_dim(xa, c, 2 * c, axis=2)
+    va = jax.lax.slice_in_dim(xa, 2 * c, 3 * c, axis=2)
     m = mask_ref[...] if has_mask else None           # (G or 1, N, N)
     sc = jnp.asarray(scale, qa.dtype)
     outs = []
@@ -806,24 +847,32 @@ def _lane_fwd_kernel(*refs, scale, nh, has_mask=True):
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         outs.append(o.astype(o_ref.dtype))
-    o_ref[...] = jnp.concatenate(outs, axis=-1)
+    o_ref[...] = jnp.concatenate(outs, axis=-1).reshape(o_ref.shape)
 
 
-def _lane_bwd_kernel(*refs, scale, nh, has_mask=True):
+def _lane_bwd_kernel(*refs, scale, nh, has_mask=True, sliced=False):
     # see _attn_bwd_kernel for the qs = q*scale fold algebra: the recompute
     # uses qs, dk = ds^T qs absorbs the scale, dq keeps its (N, hd) pass
     if has_mask:
-        (q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
-         dx3_ref, dbias_ref) = refs
+        x3_ref, bias_ref, mask_ref, do_ref, dx3_ref, dbias_ref = refs
     else:
-        q_ref, k_ref, v_ref, bias_ref, do_ref, dx3_ref, dbias_ref = refs
+        x3_ref, bias_ref, do_ref, dx3_ref, dbias_ref = refs
     b = pl.program_id(0)
-    qa = q_ref[...]
-    ka = k_ref[...]
-    va = v_ref[...]
+    if sliced:  # 2D (window, t-slice) grid: init dbias on the first program
+        b = b + pl.program_id(1)
+    xa = x3_ref[...]
     doa = do_ref[...]
-    g, n, c = qa.shape
+    if xa.ndim == 4:          # t-sliced (G, 1, N, 3C) block: leading squeeze
+        xa = xa.reshape(xa.shape[0], *xa.shape[2:])
+        doa = doa.reshape(doa.shape[0], *doa.shape[2:])
+    g, n, c3 = xa.shape
+    c = c3 // 3
     hd = c // nh
+    # 128-aligned lane-segment views; see _lane_fwd_kernel for the DMA
+    # rationale
+    qa = jax.lax.slice_in_dim(xa, 0, c, axis=2)
+    ka = jax.lax.slice_in_dim(xa, c, 2 * c, axis=2)
+    va = jax.lax.slice_in_dim(xa, 2 * c, 3 * c, axis=2)
     m = mask_ref[...] if has_mask else None
     dtype = qa.dtype
     sc = jnp.asarray(scale, dtype)
@@ -860,12 +909,13 @@ def _lane_bwd_kernel(*refs, scale, nh, has_mask=True):
         dqs.append(dq.astype(dtype))
         dks.append(dk.astype(dtype))
         dvs.append(dv.astype(dtype))
-    dx3_ref[...] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dx3_ref[...] = jnp.concatenate(dqs + dks + dvs,
+                                   axis=-1).reshape(dx3_ref.shape)
 
 
 def _lane_specs(b_, n, c, n_windows, g):
-    seg = lambda s: pl.BlockSpec((g, n, c), lambda b, s=s: (b, 0, s),
-                                 memory_space=pltpu.VMEM)
+    x3_spec = pl.BlockSpec((g, n, 3 * c), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((g, n, c), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     if n_windows > 1 and g >= n_windows:
@@ -880,14 +930,15 @@ def _lane_specs(b_, n, c, n_windows, g):
     else:
         mask_spec = pl.BlockSpec((1, n, n), lambda b: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
-    return seg, out_spec, mask_spec
+    return x3_spec, out_spec, mask_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def lane_window_attention(x3: jax.Array, bias: jax.Array, mask: jax.Array,
                           n_windows: int, n_heads: int, scale: float,
                           interpret: bool = False,
-                          has_mask: bool = True) -> jax.Array:
+                          has_mask: bool = True,
+                          t_slices: int = 1) -> jax.Array:
     """Fused window attention straight off the qkv GEMM output.
 
     Args:
@@ -895,8 +946,10 @@ def lane_window_attention(x3: jax.Array, bias: jax.Array, mask: jax.Array,
             hd) exactly like the reference's reshape
             (ref: visbackbone/video_swin.py:147-150). C must be
             128-divisible (all swin stages are).
-      bias: (nH, N, N) fp32 relative-position bias (trainable).
-      mask: (n_windows, N, N) fp32 additive shift mask (constant).
+      bias: (nH, N/t_slices, N/t_slices) fp32 relative-position bias
+            (trainable).
+      mask: (n_windows, N/t_slices, N/t_slices) fp32 additive shift mask
+            (constant).
     Returns:
       (B_, N, C) in x3.dtype — ready for the output projection, no
       transposes on either side.
@@ -904,47 +957,72 @@ def lane_window_attention(x3: jax.Array, bias: jax.Array, mask: jax.Array,
     ``has_mask=False`` (static) skips the additive-mask VPU pass — the
     unshifted swin blocks have no shift mask; ``mask`` is then only a
     VJP-signature placeholder (pass zeros).
+
+    ``t_slices=f > 1`` (round 4): each window row of ``x3`` is a FOLDED
+    superwindow of f temporal slices that never attend across slices
+    (per-frame 2D swins; the fold keeps window_partition's transpose at its
+    cheap 196-row shape). The kernel grid gains a t dimension and each
+    program computes one (N/f)-token slice — same math as the old
+    block-diagonal -1e9 bias fold at 1/f^2 of the score elements. Bias and
+    mask are per-slice shapes, shared across slices (the t-shift is always
+    zero when the temporal window is clamped to 1).
     """
     return _lane_fwd(x3, bias, mask, n_windows, n_heads, scale,
-                     interpret, has_mask)[0]
+                     interpret, has_mask, t_slices)[0]
 
 
 def _lane_fwd(x3, bias, mask, n_windows, n_heads, scale, interpret,
-              has_mask=True):
-    b_, n, c3 = x3.shape
+              has_mask=True, t_slices=1):
+    if t_slices > 1:           # 4D (B_, f, n, 3C), see _lane_tsliced_specs
+        b_, f, n, c3 = x3.shape
+        assert f == t_slices
+    else:
+        b_, n, c3 = x3.shape
     c = c3 // 3
     assert c3 == 3 * c and c % n_heads == 0 and b_ % n_windows == 0
     nh = n_heads
-    bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
     g = _lane_g(b_, n, c, nh, n_windows, backward=False,
                 itemsize=x3.dtype.itemsize, with_mask=has_mask)
-    seg, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
-    in_specs = [seg(0), seg(1), seg(2), bias_spec]
-    args = [x3, x3, x3, bias]
+    if t_slices > 1:
+        bias_spec = pl.BlockSpec((nh, n, n), lambda b, t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        x3_spec, out_spec, mask_spec = _lane_tsliced_specs(
+            b_, n, c, n_windows, g, t_slices)
+        grid = (b_ // g, t_slices)
+    else:
+        bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        x3_spec, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
+        grid = (b_ // g,)
+    in_specs = [x3_spec, bias_spec]
+    args = [x3, bias]
     if has_mask:
         in_specs.append(mask_spec)
         args.append(mask)
     out = pl.pallas_call(
         functools.partial(_lane_fwd_kernel, scale=scale, nh=nh,
                           has_mask=has_mask),
-        grid=(b_ // g,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b_, n, c), x3.dtype),
+        out_shape=jax.ShapeDtypeStruct(x3.shape[:-1] + (c,), x3.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b_ * n * n * c,
-            bytes_accessed=4 * b_ * n * c * x3.dtype.itemsize,
-            transcendentals=b_ * nh * n * n),
+            flops=2 * 2 * b_ * t_slices * n * n * c,
+            bytes_accessed=4 * b_ * t_slices * n * c * x3.dtype.itemsize,
+            transcendentals=b_ * nh * t_slices * n * n),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
     )(*args)
     return out, (x3, bias, mask)
 
 
-def _lane_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
+def _lane_bwd(n_windows, n_heads, scale, interpret, has_mask, t_slices,
+              res, do):
     x3, bias, mask = res
-    b_, n, c3 = x3.shape
+    if t_slices > 1:           # 4D (B_, f, n, 3C), see _lane_tsliced_specs
+        b_, _f, n, c3 = x3.shape
+    else:
+        b_, n, c3 = x3.shape
     c = c3 // 3
     nh = n_heads
     if _lane_bytes(1, n, c, nh, backward=True, itemsize=x3.dtype.itemsize,
@@ -952,7 +1030,10 @@ def _lane_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
         # bias-heavy shapes (swin stage 3: the resident dbias accumulator
         # twin blows the budget even at g=1): run only the BACKWARD through
         # the packed kernel on a transposed view — the forward stayed lane
-        # (transpose-free), and these shapes are tiny (B_=16 at stage 3)
+        # (transpose-free), and these shapes are tiny (B_=16 at stage 3).
+        # t-sliced shapes always fit (the (nH, N, N) terms shrink f^2-fold),
+        # so this reroute never sees t_slices > 1.
+        assert t_slices == 1
         hd = c // nh
         qkv = x3.reshape(b_, n, 3 * nh, hd).transpose(0, 2, 1, 3)
         do_p = do.reshape(b_, n, nh, hd).transpose(0, 2, 1, 3)
@@ -960,15 +1041,25 @@ def _lane_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
                                      has_mask, (qkv, bias, mask), do_p)
         dx3 = dqkv.transpose(0, 2, 1, 3).reshape(b_, n, c3)
         return dx3, dbias, jnp.zeros_like(mask)
-    bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
     g = _lane_g(b_, n, c, nh, n_windows, backward=True,
                 itemsize=x3.dtype.itemsize, with_mask=has_mask)
-    seg, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
-    dx3_spec = pl.BlockSpec((g, n, c3), lambda b: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
-    in_specs = [seg(0), seg(1), seg(2), bias_spec]
-    args = [x3, x3, x3, bias]
+    if t_slices > 1:
+        bias_spec = pl.BlockSpec((nh, n, n), lambda b, t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        x3_spec, out_spec, mask_spec = _lane_tsliced_specs(
+            b_, n, c, n_windows, g, t_slices)
+        dx3_spec = pl.BlockSpec((g, 1, n, c3), lambda b, t: (b, t, 0, 0),
+                                memory_space=pltpu.VMEM)
+        grid = (b_ // g, t_slices)
+    else:
+        bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        x3_spec, out_spec, mask_spec = _lane_specs(b_, n, c, n_windows, g)
+        dx3_spec = pl.BlockSpec((g, n, c3), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        grid = (b_ // g,)
+    in_specs = [x3_spec, bias_spec]
+    args = [x3, bias]
     if has_mask:
         in_specs.append(mask_spec)
         args.append(mask)
@@ -976,16 +1067,16 @@ def _lane_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
     args.append(do)
     dx3, dbias = pl.pallas_call(
         functools.partial(_lane_bwd_kernel, scale=scale, nh=nh,
-                          has_mask=has_mask),
-        grid=(b_ // g,),
+                          has_mask=has_mask, sliced=t_slices > 1),
+        grid=grid,
         in_specs=in_specs,
         out_specs=(dx3_spec, bias_spec),
         out_shape=(jax.ShapeDtypeStruct(x3.shape, x3.dtype),
                    jax.ShapeDtypeStruct(bias.shape, jnp.float32)),
         cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * b_ * n * n * c,
-            bytes_accessed=8 * b_ * n * c * x3.dtype.itemsize,
-            transcendentals=b_ * nh * n * n),
+            flops=5 * 2 * b_ * t_slices * n * n * c,
+            bytes_accessed=8 * b_ * t_slices * n * c * x3.dtype.itemsize,
+            transcendentals=b_ * nh * t_slices * n * n),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
     )(*args)
@@ -995,13 +1086,17 @@ def _lane_bwd(n_windows, n_heads, scale, interpret, has_mask, res, do):
 lane_window_attention.defvjp(_lane_fwd, _lane_bwd)
 
 
-def _lane_sa_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+def _lane_sa_fwd_kernel(seed_ref, x3_ref, mask_ref, o_ref, *,
                         scale, nh, p_drop):
-    qa = q_ref[...]                                   # (G, N, C)
-    ka = k_ref[...]
-    va = v_ref[...]
-    g, n, c = qa.shape
+    xa = x3_ref[...]                                  # (G, N, 3C)
+    g, n, c3 = xa.shape
+    c = c3 // 3
     hd = c // nh
+    # single contiguous x3 ref + free 128-aligned lane-segment views (see
+    # _lane_fwd_kernel for the DMA burst rationale)
+    qa = jax.lax.slice_in_dim(xa, 0, c, axis=2)
+    ka = jax.lax.slice_in_dim(xa, c, 2 * c, axis=2)
+    va = jax.lax.slice_in_dim(xa, 2 * c, 3 * c, axis=2)
     m = mask_ref[...]                                 # (G, N, N) per-row
     if p_drop > 0.0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
@@ -1031,14 +1126,16 @@ def _lane_sa_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     o_ref[...] = jnp.concatenate(outs, axis=-1)
 
 
-def _lane_sa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+def _lane_sa_bwd_kernel(seed_ref, x3_ref, mask_ref, do_ref,
                         dx3_ref, *, scale, nh, p_drop):
-    qa = q_ref[...]
-    ka = k_ref[...]
-    va = v_ref[...]
+    xa = x3_ref[...]
     doa = do_ref[...]
-    g, n, c = qa.shape
+    g, n, c3 = xa.shape
+    c = c3 // 3
     hd = c // nh
+    qa = jax.lax.slice_in_dim(xa, 0, c, axis=2)
+    ka = jax.lax.slice_in_dim(xa, c, 2 * c, axis=2)
+    va = jax.lax.slice_in_dim(xa, 2 * c, 3 * c, axis=2)
     m = mask_ref[...]
     dtype = qa.dtype
     if p_drop > 0.0:
@@ -1130,8 +1227,8 @@ def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,
     assert c3 == 3 * c and c % nh == 0
     g = _lane_sa_g(b, n, c, nh, p_drop, backward,
                    itemsize=x3.dtype.itemsize)
-    seg = lambda s: pl.BlockSpec((g, n, c), lambda r, s=s: (r, 0, s),
-                                 memory_space=pltpu.VMEM)
+    x3_spec = pl.BlockSpec((g, n, c3), lambda r: (r, 0, 0),
+                           memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((g, n, n), lambda r: (r, 0, 0),
                              memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1140,7 +1237,7 @@ def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,
             functools.partial(_lane_sa_fwd_kernel, scale=scale, nh=nh,
                               p_drop=p_drop),
             grid=(b // g,),
-            in_specs=[seed_spec, seg(0), seg(1), seg(2), mask_spec],
+            in_specs=[seed_spec, x3_spec, mask_spec],
             out_specs=pl.BlockSpec((g, n, c), lambda r: (r, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, n, c), x3.dtype),
@@ -1150,7 +1247,7 @@ def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,
                 transcendentals=b * nh * n * n),
             interpret=interpret,
             compiler_params=None if interpret else _compiler_params(),
-        )(seed, x3, x3, x3, mask)
+        )(seed, x3, mask)
     do_spec = pl.BlockSpec((g, n, c), lambda r: (r, 0, 0),
                            memory_space=pltpu.VMEM)
     dx3_spec = pl.BlockSpec((g, n, c3), lambda r: (r, 0, 0),
@@ -1159,7 +1256,7 @@ def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,
         functools.partial(_lane_sa_bwd_kernel, scale=scale, nh=nh,
                           p_drop=p_drop),
         grid=(b // g,),
-        in_specs=[seed_spec, seg(0), seg(1), seg(2), mask_spec, do_spec],
+        in_specs=[seed_spec, x3_spec, mask_spec, do_spec],
         out_specs=dx3_spec,
         out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
         cost_estimate=pl.CostEstimate(
@@ -1168,7 +1265,7 @@ def _lane_sa_call(x3, mask, seed, n_heads, scale, p_drop, interpret, *,
             transcendentals=b * nh * n * n),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
-    )(seed, x3, x3, x3, mask, do)
+    )(seed, x3, mask, do)
 
 
 def _lane_sa_fwd(x3, mask, seed, n_heads, scale, p_drop, interpret):

@@ -473,3 +473,49 @@ def test_lane_kernel_packed_bwd_fallback(monkeypatch):
         # gradient entries
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    atol=1.5e-3, rtol=1e-2, err_msg=name)
+
+
+def test_lane_kernel_tsliced_matches_unfolded_swin(monkeypatch):
+    """Round-4 t-sliced lane path: per-frame 2D swin (window (1,7,7), T=4,
+    C=128 so the lane kernel engages) folds 4 temporal slices into one
+    superwindow LAYOUT but computes per-slice (49, 49) attention via a t
+    grid dimension — no -1e9 score inflation. Outputs and grads (incl. the
+    rel-pos bias table through the t-sliced dbias accumulation) must match
+    the unfolded XLA path."""
+    monkeypatch.setenv("EMVM_PALLAS_INTERPRET", "1")
+    import dataclasses
+
+    from empirical_mvm_tpu.core.config import SwinConfig
+    from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
+
+    cfg = SwinConfig(patch_size=(1, 4, 4), embed_dim=128, depths=(2,),
+                     num_heads=(4,), window_size=(1, 7, 7),
+                     drop_path_rate=0.0, final_norm=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 56, 56, 3),
+                    jnp.float32)
+    m_ref = SwinTransformer3D(config=dataclasses.replace(
+        cfg, use_pallas_attention=False))
+    m_fused = SwinTransformer3D(config=dataclasses.replace(
+        cfg, use_pallas_attention=True))
+    params = m_ref.init(jax.random.PRNGKey(0), x)["params"]
+
+    # the lane t-sliced path must actually engage (C=128 fits)
+    from empirical_mvm_tpu.ops.window_attention import lane_attention_fits
+    assert lane_attention_fits(64, 49, 128, 4, 4)
+
+    ref = m_ref.apply({"params": params}, x)
+    out = m_fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+    loss_ref = jax.grad(lambda p: jnp.sum(
+        m_ref.apply({"params": p}, x) ** 2))(params)
+    loss_fus = jax.grad(lambda p: jnp.sum(
+        m_fused.apply({"params": p}, x) ** 2))(params)
+    flat_r = jax.tree_util.tree_leaves_with_path(loss_ref)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(loss_fus))
+    for path, g_r in flat_r:
+        g_f = flat_f[path]
+        np.testing.assert_allclose(
+            np.asarray(g_f), np.asarray(g_r), atol=3e-3, rtol=1e-2,
+            err_msg=jax.tree_util.keystr(path))
