@@ -11,10 +11,17 @@ and ``Agent_Captioning`` (ref: main_caption.py:44-163):
 
 TPU-native: generation is a ``lax.scan`` over a static max length — the
 reference's Python while-loop with growing shapes (hostile to jit) becomes a
-fixed-shape program; one compile, then every clip decodes on device. (The
-reference's KV-cache path was never finished — model_for_captioning.py:102,
-215 raise NotImplementedError; a cache is a follow-up optimization here, not
-a parity requirement.)
+fixed-shape program; one compile, then every clip decodes on device.
+
+KV cache (round 5, BEYOND parity — the reference's cache path was never
+finished, model_for_captioning.py:102,215 raise NotImplementedError):
+``generate(..., use_cache=True)`` exploits the seq2seq mask structure
+(video rows never attend text, text attends video + causal text — ref
+model.py:192-198): the video half of the fusion stack is computed ONCE and
+its per-layer K/V cached; each decode step then runs a TWO-token fusion
+forward ([real token @ i-1, MASK @ i]) against the cache instead of
+re-encoding all ``n_vid + max_len`` rows. Greedy outputs are identical to
+the uncached path (asserted in tests and tools/capbench.py --compare).
 """
 
 from __future__ import annotations
@@ -23,9 +30,54 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from empirical_mvm_tpu.models.bert import BertMLMHead
 from empirical_mvm_tpu.models.violet import VioletBase
+
+
+def _ln_p(x: jax.Array, p, eps: float) -> jax.Array:
+    """LayerNorm from a raw {scale, bias} param dict, fp32 statistics."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _dense_p(x: jax.Array, p, dtype) -> jax.Array:
+    return x @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
+
+
+def _kv_proj(lp, x: jax.Array, dtype):
+    """Per-layer K/V projections of the layer-input hidden states."""
+    ap = lp["attention"]
+    return _dense_p(x, ap["key"], dtype), _dense_p(x, ap["value"], dtype)
+
+
+def _layer_fwd(lp, xq: jax.Array, keys: jax.Array, vals: jax.Array,
+               bias: jax.Array, nh: int, eps: float, dtype) -> jax.Array:
+    """One BertLayer forward for query rows ``xq`` attending ``keys/vals``
+    (same math as models/bert.py BertLayer on the XLA path; K/V are supplied
+    by the caller so cached entries can be reused)."""
+    ap = lp["attention"]
+    b, lq, d = xq.shape
+    lk = keys.shape[1]
+    hd = d // nh
+    q = _dense_p(xq, ap["query"], dtype)
+    s = jnp.einsum("bqhd,bkhd->bhqk",
+                   q.reshape(b, lq, nh, hd), keys.reshape(b, lk, nh, hd),
+                   preferred_element_type=jnp.float32) / np.sqrt(hd)
+    s = s + bias[:, None]                              # (B, 1, Lq, Lk) f32
+    p = jax.nn.softmax(s, axis=-1).astype(dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p, vals.reshape(b, lk, nh, hd),
+                     preferred_element_type=jnp.float32)
+    ctx = ctx.astype(dtype).reshape(b, lq, d)
+    x = _ln_p(_dense_p(ctx, ap["out"], dtype) + xq, ap["LayerNorm"], eps)
+    h = _dense_p(x, lp["intermediate"], dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _dense_p(h, lp["output"], dtype)
+    return _ln_p(h + x, lp["LayerNorm"], eps)
 
 
 class VioletCaptioning(VioletBase):
@@ -49,14 +101,43 @@ class VioletCaptioning(VioletBase):
                                deterministic=deterministic)
         return self.fc_mtm(out[:, fi.shape[1]:])
 
+    def _sample(self, logits, *, decode, top_k, top_p, temperature, sub):
+        """Next-token choice from (B, V) logits
+        (ref: model_for_captioning.py:169-198 top_k_top_p_filtering)."""
+        logits = logits.astype(jnp.float32) / temperature
+        if decode == "greedy":
+            return jnp.argmax(logits, axis=-1)
+        if top_k > 0:
+            kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if top_p > 0.0:
+            sorted_l = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_l, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+            cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[:, None],
+                                         axis=-1)
+            logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+        return jax.random.categorical(sub, logits, axis=-1)
+
     def generate(self, img, max_len: int = 20, *, decode: str = "greedy",
                  top_k: int = 0, top_p: float = 0.0, temperature: float = 1.0,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, use_cache: bool = True):
         """Autoregressive caption generation
         (ref: model_for_captioning.py:114-165,239-310).
 
+        ``use_cache=True`` (default) runs the KV-cached decoder when the
+        text encoder is embeddings-only (the reference's default config) —
+        identical greedy outputs, ~O(n_vid/2) fewer fusion FLOPs per token;
+        sampling paths differ only in RNG consumption order. Falls back to
+        the full re-encode scan otherwise.
+
         Returns (B, max_len) token ids starting with [CLS].
         """
+        if use_cache and self.config.txt_backbone_embed_only:
+            return self.generate_cached(
+                img, max_len, decode=decode, top_k=top_k, top_p=top_p,
+                temperature=temperature, rng=rng)
         b = img.shape[0]
         fi, mi = self.enc_img(img, deterministic=True)
         if rng is None:
@@ -79,22 +160,8 @@ class VioletCaptioning(VioletBase):
                                    attn_mask_type="seq2seq",
                                    deterministic=True)
             logits = self.fc_mtm(out[:, fi.shape[1] + i])      # (B, V)
-            logits = logits.astype(jnp.float32) / temperature
-            if decode == "greedy":
-                nxt = jnp.argmax(logits, axis=-1)
-            else:
-                if top_k > 0:      # (ref: top_k_top_p_filtering :169-198)
-                    kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
-                    logits = jnp.where(logits < kth, -jnp.inf, logits)
-                if top_p > 0.0:
-                    sorted_l = jnp.sort(logits, axis=-1)[:, ::-1]
-                    probs = jax.nn.softmax(sorted_l, axis=-1)
-                    cum = jnp.cumsum(probs, axis=-1)
-                    cutoff_idx = jnp.sum(cum < top_p, axis=-1)
-                    cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[:, None],
-                                                 axis=-1)
-                    logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-                nxt = jax.random.categorical(sub, logits, axis=-1)
+            nxt = self._sample(logits, decode=decode, top_k=top_k,
+                               top_p=top_p, temperature=temperature, sub=sub)
             nxt = jnp.where(done, self.pad_token_id, nxt.astype(jnp.int32))
             tokens = tokens.at[:, i].set(nxt)
             done = jnp.logical_or(done, nxt == self.sep_token_id)
@@ -102,6 +169,117 @@ class VioletCaptioning(VioletBase):
 
         (tokens, done, _), _ = jax.lax.scan(
             step, (tokens0, done0, rng), jnp.arange(1, max_len))
+        return tokens
+
+    def generate_cached(self, img, max_len: int = 20, *,
+                        decode: str = "greedy", top_k: int = 0,
+                        top_p: float = 0.0, temperature: float = 1.0,
+                        rng: Optional[jax.Array] = None):
+        """KV-cached autoregressive generation (see module docstring).
+
+        Decomposition of the seq2seq fusion pass (ref model.py:192-198):
+        video rows attend ONLY video, so the video half of every fusion
+        layer is computed once and its K/V cached; a text row at position
+        ``p`` attends video + text ``<= p``, so its hidden states computed
+        incrementally (against the cache) equal the full-pass ones. Each
+        scan step runs ONE two-token forward — [the committed token at
+        ``i-1``, the MASK probe at ``i``] — appends the committed token's
+        K/V to the cache, and samples token ``i`` from the probe's logits.
+        Requires the embeddings-only text encoder (the reference default,
+        _args/args_pretrain.json:48); ``generate`` dispatches here.
+        """
+        cfg = self.config.fusion
+        assert self.config.txt_backbone_embed_only, \
+            "KV-cached decode requires the embeddings-only text encoder"
+        nh = cfg.num_attention_heads
+        eps = cfg.layer_norm_eps
+        nl = cfg.num_hidden_layers
+        dtype = self.dtype
+        b = img.shape[0]
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        fi, mi = self.enc_img(img, deterministic=True)
+        fi = fi.astype(dtype)
+        n_vid = fi.shape[1]
+        d = fi.shape[-1]
+
+        tp = self.trsfr.variables["params"]
+        if "layer" in tp:      # BertEncoderScanned stacked layout
+            layers = [jax.tree.map(lambda a, i=i: a[i], tp["layer"])
+                      for i in range(nl)]
+        else:
+            layers = [tp[f"layer_{i}"] for i in range(nl)]
+        ep = self.enc_txt.variables["params"]["emb_txt"]
+
+        neg = jnp.finfo(jnp.float32).min
+
+        # ---- video prefill: one pass over the video rows (video-only
+        # attention), caching each layer's K/V of its INPUT hiddens
+        vid_bias = ((1.0 - mi.astype(jnp.float32)) * neg)[:, None, :]
+        x = fi
+        vid_k, vid_v = [], []
+        for lp in layers:
+            k, v = _kv_proj(lp, x, dtype)
+            vid_k.append(k)
+            vid_v.append(v)
+            x = _layer_fwd(lp, x, k, v, vid_bias, nh, eps, dtype)
+
+        eps_t = self.config.text.layer_norm_eps
+
+        def embed(ids, pos):
+            """BertEmbeddings math from raw params (type ids all 0)."""
+            e = (ep["word_embeddings"]["embedding"][ids]
+                 + ep["position_embeddings"]["embedding"][pos][None]
+                 + ep["token_type_embeddings"]["embedding"][0][None, None])
+            return _ln_p(e, ep["LayerNorm"], eps_t).astype(dtype)
+
+        tokens0 = jnp.full((b, max_len), self.pad_token_id, jnp.int32)
+        tokens0 = tokens0.at[:, 0].set(self.cls_token_id)
+        done0 = jnp.zeros((b,), bool)
+        txt_k0 = jnp.zeros((nl, b, max_len, d), dtype)
+        txt_v0 = jnp.zeros((nl, b, max_len, d), dtype)
+        vid_part = (1.0 - mi.astype(jnp.float32)) * neg          # (B, n_vid)
+        pair_mat = jnp.asarray([[0.0, neg], [0.0, 0.0]], jnp.float32)
+
+        def step(carry, i):
+            tokens, done, txt_k, txt_v, rng = carry
+            rng, sub = jax.random.split(rng)
+            prev = tokens[:, i - 1]
+            ids = jnp.stack(
+                [prev, jnp.full_like(prev, self.mask_token_id)], axis=1)
+            x = embed(ids, jnp.stack([i - 1, i]))                # (B, 2, D)
+            # keys: [video ; text cache (< i-1) ; the pair itself]
+            cache_ok = jnp.arange(max_len) <= i - 2
+            txt_part = jnp.where(cache_ok, 0.0, neg)             # (max_len,)
+            bias = jnp.concatenate([
+                jnp.broadcast_to(vid_part[:, None, :], (b, 2, n_vid)),
+                jnp.broadcast_to(txt_part[None, None], (b, 2, max_len)),
+                jnp.broadcast_to(pair_mat[None], (b, 2, 2))], axis=2)
+            new_k, new_v = [], []
+            for li, lp in enumerate(layers):
+                k2, v2 = _kv_proj(lp, x, dtype)
+                keys = jnp.concatenate([vid_k[li], txt_k[li], k2], axis=1)
+                vals = jnp.concatenate([vid_v[li], txt_v[li], v2], axis=1)
+                x = _layer_fwd(lp, x, keys, vals, bias, nh, eps, dtype)
+                new_k.append(k2[:, 0])
+                new_v.append(v2[:, 0])
+            # commit the real token's K/V at cache position i-1
+            txt_k = jax.lax.dynamic_update_slice(
+                txt_k, jnp.stack(new_k)[:, :, None], (0, 0, i - 1, 0))
+            txt_v = jax.lax.dynamic_update_slice(
+                txt_v, jnp.stack(new_v)[:, :, None], (0, 0, i - 1, 0))
+            logits = self.fc_mtm(x[:, 1])                        # (B, V)
+            nxt = self._sample(logits, decode=decode, top_k=top_k,
+                               top_p=top_p, temperature=temperature, sub=sub)
+            nxt = jnp.where(done, self.pad_token_id, nxt.astype(jnp.int32))
+            tokens = tokens.at[:, i].set(nxt)
+            done = jnp.logical_or(done, nxt == self.sep_token_id)
+            return (tokens, done, txt_k, txt_v, rng), None
+
+        (tokens, done, _, _, _), _ = jax.lax.scan(
+            step, (tokens0, done0, txt_k0, txt_v0, rng),
+            jnp.arange(1, max_len))
         return tokens
 
     def generate_beam(self, img, max_len: int = 20, *, beam_size: int = 4,

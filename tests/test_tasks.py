@@ -174,6 +174,67 @@ def test_captioning_train_and_generate():
     assert np.asarray(toks2).shape == (b, 6)
 
 
+def test_captioning_kv_cache_matches_full_reencode():
+    """The KV-cached decoder must emit IDENTICAL greedy tokens to the full
+    re-encode scan (it is the same math decomposed: video rows never attend
+    text under the seq2seq mask, ref model.py:192-198, so the video half is
+    cacheable and text decodes incrementally)."""
+    from empirical_mvm_tpu.models.captioning import VioletCaptioning
+    cfg = _cfg()
+    model = VioletCaptioning(config=cfg, cls_token_id=2, sep_token_id=3,
+                             pad_token_id=0, mask_token_id=4)
+    b = 2
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b), txt,
+                                        mask)["params"])()
+    full = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), max_len=7, use_cache=False,
+        method=model.generate))(params))
+    cached = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), max_len=7,
+        method=model.generate_cached))(params))
+    assert (full == cached).all(), (full, cached)
+    # sampling through the cached path also compiles and emits valid shapes
+    toks = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), max_len=7, decode="sample", top_k=5,
+        rng=jax.random.PRNGKey(1), method=model.generate_cached))(params))
+    assert toks.shape == (b, 7) and (toks[:, 0] == 2).all()
+
+
+def test_captioning_kv_cache_scanned_fusion():
+    """Cached decode also consumes the scanned (stacked-param) fusion
+    encoder layout."""
+    import dataclasses
+    from empirical_mvm_tpu.models.captioning import VioletCaptioning
+    cfg = _cfg()
+    cfg_scan = dataclasses.replace(
+        cfg, fusion=dataclasses.replace(TINY_BERT, scan=True))
+    model = VioletCaptioning(config=cfg, cls_token_id=2, sep_token_id=3,
+                             pad_token_id=0, mask_token_id=4)
+    model_s = VioletCaptioning(config=cfg_scan, cls_token_id=2,
+                               sep_token_id=3, pad_token_id=0,
+                               mask_token_id=4)
+    b = 2
+    txt = jnp.asarray(np.random.RandomState(1).randint(5, 200, (b, 8)))
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), _img(b), txt,
+                                        mask)["params"])()
+    # per-layer -> stacked fusion params
+    from empirical_mvm_tpu.models.bert import stack_encoder_params
+    p2 = dict(params)
+    p2["trsfr"] = stack_encoder_params(
+        {k: jax.tree.map(np.asarray, v) for k, v in params["trsfr"].items()},
+        TINY_BERT.num_hidden_layers)
+    full = np.asarray(jax.jit(lambda p: model.apply(
+        {"params": p}, _img(b), max_len=6, use_cache=False,
+        method=model.generate))(params))
+    cached = np.asarray(jax.jit(lambda p: model_s.apply(
+        {"params": p}, _img(b), max_len=6,
+        method=model_s.generate_cached))(p2))
+    assert (full == cached).all(), (full, cached)
+
+
 def test_qamc_mlm_head_variant():
     from empirical_mvm_tpu.models.tasks import (VioletQAMCMLMHead,
                                                 qamc_mlm_head_accuracy)

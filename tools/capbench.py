@@ -1,12 +1,15 @@
 """Caption-generation throughput bench (VERDICT r3 item 10).
 
-The scan decoder re-encodes the full prefix per token — same asymptotics as
-the reference's generation loop (ref: model_for_captioning.py:239-310; its
-KV-cache path was never finished, :102,215). Nothing measured captions/s
-before this tool; a future KV-cache lands against this baseline.
+Measures captions/s of the autoregressive decoder at flagship geometry.
+``--mode full`` is the full re-encode scan (the reference's asymptotics,
+ref: model_for_captioning.py:239-310; its KV-cache path was never finished,
+:102,215); ``--mode cached`` is the round-5 KV-cached decoder (video K/V
+computed once, two-token steps); ``--mode compare`` runs both, asserts the
+greedy outputs are IDENTICAL, and prints the speedup.
 
 Run on the chip:
   python tools/capbench.py [--batch 8] [--max-len 20] [--decode greedy]
+                           [--mode compare]
 """
 import argparse
 import os
@@ -35,6 +38,8 @@ def main():
     ap.add_argument("--max-len", type=int, default=20)
     ap.add_argument("--decode", default="greedy")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mode", default="compare",
+                    choices=["full", "cached", "compare"])
     args = ap.parse_args()
 
     from empirical_mvm_tpu.core.config import ModelConfig
@@ -54,23 +59,39 @@ def main():
         img, jnp.zeros((b, args.max_len), jnp.int32),
         jnp.ones((b, args.max_len), jnp.int32))["params"])()
 
-    gen = jax.jit(lambda p, im: model.apply(
-        {"params": p}, im, max_len=args.max_len, decode=args.decode,
-        method=model.generate))
+    def make_gen(use_cache: bool):
+        return jax.jit(lambda p, im: model.apply(
+            {"params": p}, im, max_len=args.max_len, decode=args.decode,
+            use_cache=use_cache, method=model.generate))
 
-    out = gen(params, img)
-    # host readback sync (block_until_ready unreliable through the tunnel)
-    int(np.asarray(out).sum())
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    def timed(gen):
         out = gen(params, img)
-    int(np.asarray(out).sum())
-    dt = (time.perf_counter() - t0) / args.iters
-    caps_s = args.batch / dt
-    print(f"caption generation: batch={args.batch} max_len={args.max_len} "
-          f"decode={args.decode}  {dt * 1e3:.1f} ms/batch  "
-          f"{caps_s:.2f} captions/s  "
-          f"{args.batch * (args.max_len - 1) / dt:.1f} tokens/s")
+        # host readback sync (block_until_ready unreliable thru the tunnel)
+        int(np.asarray(out).sum())
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = gen(params, img)
+        toks = np.asarray(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        return dt, toks
+
+    results = {}
+    modes = (["full", "cached"] if args.mode == "compare" else [args.mode])
+    for mode in modes:
+        dt, toks = timed(make_gen(use_cache=(mode == "cached")))
+        results[mode] = (dt, toks)
+        print(f"caption generation [{mode}]: batch={args.batch} "
+              f"max_len={args.max_len} decode={args.decode}  "
+              f"{dt * 1e3:.1f} ms/batch  {args.batch / dt:.2f} captions/s  "
+              f"{args.batch * (args.max_len - 1) / dt:.1f} tokens/s")
+    if args.mode == "compare":
+        dt_f, toks_f = results["full"]
+        dt_c, toks_c = results["cached"]
+        if args.decode == "greedy":
+            assert (toks_f == toks_c).all(), \
+                "cached decoder diverged from the full re-encode"
+            print("greedy outputs identical: OK")
+        print(f"speedup: {dt_f / dt_c:.2f}x")
 
 
 if __name__ == "__main__":
