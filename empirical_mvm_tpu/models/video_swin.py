@@ -304,7 +304,8 @@ class WindowAttention3D(nn.Module):
                 nw_pred = mask.shape[0] // dp if mask is not None else 1
                 tsliced = (_fits(b_pred, n, self.dim, self.num_heads,
                                  nw_pred)
-                           and not _os.environ.get("EMVM_PACKED_ATTN"))
+                           and not _os.environ.get("EMVM_PACKED_ATTN")
+                           and not _os.environ.get("EMVM_NO_TSLICE"))
             # Partition BEFORE the qkv GEMM. A single 9D qkv-before-partition
             # mega-transpose was measured SLOWER (52.2 -> 49.2 clips/s,
             # round 2): its (…, ww, 3nH, hd) sublane pattern beats two clean
@@ -370,7 +371,8 @@ class WindowAttention3D(nn.Module):
             # agree with it.
             lane_ok = (lane_attention_fits(b_, n, c, nh, nw_hw)
                        and not _os.environ.get("EMVM_PACKED_ATTN"))
-            assert tsliced == (t_fold > 1 and lane_ok)
+            assert tsliced == (t_fold > 1 and lane_ok
+                               and not _os.environ.get("EMVM_NO_TSLICE"))
             if tsliced:
                 # per-frame masks are t-independent (t-shift is 0 when the
                 # temporal window clamps to 1): slice the first hw periods

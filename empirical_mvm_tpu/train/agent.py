@@ -303,6 +303,11 @@ class PretrainAgent(AgentBase):
                     cnt += 1
                 for k, s in sums.items():
                     out[f"{name}/{k}"] = s / max(cnt, 1)
+                # the reference evaluates the FULL val loader
+                # (main_pretrain_yaml.py:106-149); we subsample to
+                # max_batches — log how many batches the numbers cover so
+                # the subsampling is visible next to the metrics
+                out[f"{name}/n_batches"] = float(cnt)
             return out
 
         return eval_fn

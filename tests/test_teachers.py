@@ -342,7 +342,28 @@ def test_dpt_importer_consumes_real_checkpoint_layout():
     add("scratch.output_conv.4.bias", 1)
 
     from empirical_mvm_tpu.teachers.dpt import DPTDepth, dpt_params_from_torch
-    params = dpt_params_from_torch(sd)
+
+    class _Tracking(dict):
+        def __init__(self, base):
+            super().__init__(base)
+            self.read = set()
+
+        def __getitem__(self, k):
+            self.read.add(k)
+            return super().__getitem__(k)
+
+    tsd = _Tracking(sd)
+    params = dpt_params_from_torch(tsd)
+
+    # every checkpoint key is consumed except the documented-unused set:
+    # timm's final ViT norm (hooks capture pre-norm block outputs,
+    # ref vit.py:65-77) and refinenet4.resConfUnit1 (refinenet4 is called
+    # with a single input, ref dpt_depth.py:79)
+    expected_unused = {f"{p}.norm.weight", f"{p}.norm.bias"} | {
+        f"scratch.refinenet4.resConfUnit1.{c}.{wb}"
+        for c in ("conv1", "conv2") for wb in ("weight", "bias")}
+    assert set(sd) - tsd.read == expected_unused, \
+        sorted((set(sd) - tsd.read) ^ expected_unused)
 
     # every imported leaf must land on the flax tree with a matching shape
     model = DPTDepth()
