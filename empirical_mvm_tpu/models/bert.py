@@ -207,8 +207,22 @@ class BertEncoder(nn.Module):
     def __call__(self, x, attn_bias=None, deterministic: bool = True,
                  output_attentions: bool = False):
         all_probs = []
-        layer_cls = (nn.remat(BertLayer, static_argnums=(3, 4))
-                     if self.config.remat else BertLayer)
+        import os as _os
+        rp = _os.environ.get("EMVM_BERT_REMAT", "")
+        if rp == "dots":
+            # A/B probe for the (64, 232, 3072) MLP-intermediate copies the
+            # XLA scheduler inserts on the flagship fusion stack
+            # (BENCH_LOCAL_r3 profile: ~9 ms/step): explicit per-layer remat
+            # that SAVES GEMM outputs (dots policy) replaces the scheduler's
+            # own save/copy choices with recompute-free boundaries.
+            layer_cls = nn.remat(
+                BertLayer, static_argnums=(3, 4),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif rp == "full":
+            layer_cls = nn.remat(BertLayer, static_argnums=(3, 4))
+        else:
+            layer_cls = (nn.remat(BertLayer, static_argnums=(3, 4))
+                         if self.config.remat else BertLayer)
         for i in range(self.config.num_hidden_layers):
             x, probs = layer_cls(self.config, dtype=self.dtype,
                                  name=f"layer_{i}")(
