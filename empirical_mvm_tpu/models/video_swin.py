@@ -268,6 +268,7 @@ class WindowAttention3D(nn.Module):
         five_d = x.ndim == 5
         t_fold = 1
         tsliced = False
+        direct = False
         if five_d:
             assert window_eff is not None
             wd, wh, ww = window_eff
@@ -306,12 +307,25 @@ class WindowAttention3D(nn.Module):
                                  nw_pred)
                            and not _os.environ.get("EMVM_PACKED_ATTN")
                            and not _os.environ.get("EMVM_NO_TSLICE"))
-            # Partition BEFORE the qkv GEMM. A single 9D qkv-before-partition
-            # mega-transpose was measured SLOWER (52.2 -> 49.2 clips/s,
-            # round 2): its (…, ww, 3nH, hd) sublane pattern beats two clean
-            # transposes only on paper.
-            x = window_partition(x, (wd * t_fold, wh, ww),
-                                 t_split=t_fold if tsliced else 1)
+            # 5D-direct probe (round 5, EMVM_DIRECT_ATTN=1): skip the
+            # partition entirely — the kernel reads the qkv GEMM output in
+            # its native 5D layout, one h-strip of windows per program, and
+            # scatters outputs back (no window_reverse either). Forward
+            # only; the backward repartitions internally.
+            if (use_fused and t_fold == 1 and self.attn_drop == 0.0
+                    and _os.environ.get("EMVM_DIRECT_ATTN")):
+                from empirical_mvm_tpu.ops.window_attention import (
+                    direct_attention_fits)
+                direct = direct_attention_fits(b5, dp, hp, wp, self.dim,
+                                               self.num_heads,
+                                               (wd, wh, ww))
+            if not direct:
+                # Partition BEFORE the qkv GEMM. A single 9D
+                # qkv-before-partition mega-transpose was measured SLOWER
+                # (52.2 -> 49.2 clips/s, round 2): its (…, ww, 3nH, hd)
+                # sublane pattern beats two clean transposes only on paper.
+                x = window_partition(x, (wd * t_fold, wh, ww),
+                                     t_split=t_fold if tsliced else 1)
         b_ = x.shape[0]
         if not five_d:
             n = x.shape[1]
@@ -373,7 +387,18 @@ class WindowAttention3D(nn.Module):
                        and not _os.environ.get("EMVM_PACKED_ATTN"))
             assert tsliced == (t_fold > 1 and lane_ok
                                and not _os.environ.get("EMVM_NO_TSLICE"))
-            if tsliced:
+            if five_d and direct:
+                from empirical_mvm_tpu.ops.window_attention import (
+                    direct_window_attention)
+                if mask is not None:
+                    mask_arr = jnp.asarray(mask, jnp.float32)
+                else:
+                    mask_arr = jnp.zeros((1, n, n), jnp.float32)
+                x = direct_window_attention(
+                    qkv, bias, mask_arr, (wd, wh, ww), nh, float(scale),
+                    not on_tpu, has_mask).astype(self.dtype)
+                # (B, Dp, Hp, Wp, C) — already in feature-map layout
+            elif tsliced:
                 # per-frame masks are t-independent (t-shift is 0 when the
                 # temporal window clamps to 1): slice the first hw periods
                 if mask is not None:
@@ -409,11 +434,11 @@ class WindowAttention3D(nn.Module):
             else:
                 mask_arr = jnp.zeros((1, n_k, n_k), jnp.float32)
                 nw = 1
-            if lane_ok and not tsliced:
+            if lane_ok and not tsliced and not direct:
                 x = lane_window_attention(
                     qkv, bias, mask_arr, nw, nh, float(scale),
                     not on_tpu, has_mask).astype(self.dtype)  # (B_, Nk, C)
-            elif not tsliced:
+            elif not tsliced and not direct:
                 # packed fallback (EMVM_PACKED_ATTN=1 or non-128-divisible C)
                 qkv = qkv.reshape(b_, n_k, 3 * nh, head_dim)
                 qkv = qkv.transpose(0, 2, 1, 3)        # (B_, 3nH, Nk, hd)
@@ -443,7 +468,7 @@ class WindowAttention3D(nn.Module):
 
         x = _flat_dense(nn.Dense(self.dim, dtype=self.dtype, name="proj"), x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
-        if five_d:
+        if five_d and not direct:
             x = window_reverse(x, (window_eff[0] * t_fold, *window_eff[1:]),
                                b5, dp, hp, wp)
         return x

@@ -519,3 +519,90 @@ def test_lane_kernel_tsliced_matches_unfolded_swin(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(g_f), np.asarray(g_r), atol=3e-3, rtol=1e-2,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_direct_kernel_matches_reference():
+    """Round-5 5D-direct path: direct_window_attention on the native
+    (B, D, Hp, Wp, 3C) layout must equal partition -> reference oracle ->
+    reverse, for outputs and (x3, bias) grads (the direct backward
+    repartitions internally through the lane backward)."""
+    from empirical_mvm_tpu.models.video_swin import (window_partition,
+                                                     window_reverse)
+    from empirical_mvm_tpu.ops.window_attention import (
+        direct_attention_fits, direct_window_attention)
+    rs = np.random.RandomState(0)
+    b, d, hp, wp, c, nh = 2, 2, 6, 9, 128, 4
+    win = (2, 3, 3)
+    n = 2 * 3 * 3
+    nw = (hp // 3) * (wp // 3)
+    hd = c // nh
+    x3 = jnp.asarray(rs.randn(b, d, hp, wp, 3 * c).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rs.randn(nh, n, n).astype(np.float32) * 0.1)
+    mask = np.zeros((nw, n, n), np.float32)
+    mask[1::2, : n // 2, n // 2:] = -100.0
+    mask = jnp.asarray(mask)
+    scale = hd ** -0.5
+    assert direct_attention_fits(b, d, hp, wp, c, nh, win)
+    tgt = jnp.asarray(rs.randn(b, d, hp, wp, c).astype(np.float32))
+
+    def loss_direct(x3, bias):
+        o = direct_window_attention(x3, bias, mask, win, nh, scale, True)
+        return jnp.sum((o - tgt) ** 2), o
+
+    def loss_ref(x3, bias):
+        xw = window_partition(x3, win)
+        b_ = xw.shape[0]
+        qkv = xw.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        o = window_attention_reference(qkv[0], qkv[1], qkv[2], bias, mask,
+                                       nw, scale)
+        o = o.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        o = window_reverse(o, win, b, d, hp, wp)
+        return jnp.sum((o - tgt) ** 2), o
+
+    (l_d, o_d), g_d = jax.value_and_grad(loss_direct, argnums=(0, 1),
+                                         has_aux=True)(x3, bias)
+    (l_r, o_r), g_r = jax.value_and_grad(loss_ref, argnums=(0, 1),
+                                         has_aux=True)(x3, bias)
+    np.testing.assert_allclose(np.asarray(o_d), np.asarray(o_r),
+                               atol=2e-5, rtol=1e-4)
+    for a, b2, name in zip(g_d, g_r, ("x3", "bias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=3e-4, rtol=1e-3, err_msg=name)
+
+
+def test_direct_swin_matches_lane_swin(monkeypatch):
+    """Full swin stage under EMVM_DIRECT_ATTN=1 (5D-direct kernel, shifted
+    and unshifted blocks) must match the XLA einsum path."""
+    monkeypatch.setenv("EMVM_PALLAS_INTERPRET", "1")
+    import dataclasses
+
+    from empirical_mvm_tpu.core.config import SwinConfig
+    from empirical_mvm_tpu.models.video_swin import SwinTransformer3D
+
+    cfg = SwinConfig(patch_size=(1, 4, 4), embed_dim=128, depths=(2,),
+                     num_heads=(4,), window_size=(8, 7, 7),
+                     drop_path_rate=0.0, final_norm=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 56, 56, 3),
+                    jnp.float32)
+    m_ref = SwinTransformer3D(config=dataclasses.replace(
+        cfg, use_pallas_attention=False))
+    m_fused = SwinTransformer3D(config=dataclasses.replace(
+        cfg, use_pallas_attention=True))
+    params = m_ref.init(jax.random.PRNGKey(0), x)["params"]
+
+    ref = m_ref.apply({"params": params}, x)
+    monkeypatch.setenv("EMVM_DIRECT_ATTN", "1")
+    out = m_fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+    g_ref = jax.grad(lambda p: jnp.sum(
+        m_ref.apply({"params": p}, x) ** 2))(params)
+    g_dir = jax.grad(lambda p: jnp.sum(
+        m_fused.apply({"params": p}, x) ** 2))(params)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(g_dir))
+    for path, gr in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(flat_d[path]), np.asarray(gr), atol=3e-3, rtol=1e-2,
+            err_msg=jax.tree_util.keystr(path))
