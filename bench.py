@@ -108,14 +108,14 @@ def build(batch_size: int, mvm_target: str = "2d_feature"):
         {"params": rng, "dropout": rng, "mask": rng},
         batch["img"], batch["txt"], batch["mask"],
         method=model.losses)["params"])()
-    if os.environ.get("EMVM_FLAT_OPT"):
-        # A/B hook (VERDICT r3 item 7): single-flat-buffer AdamW vs the
-        # per-leaf optax chain. Equivalence-tested in test_train_step.py;
-        # run `EMVM_FLAT_OPT=1 python bench.py --series pixel` to compare.
-        from empirical_mvm_tpu.train.optimizer import build_flat_optimizer
-        tx = build_flat_optimizer(params, lr=5e-5, max_iter=1000)
-    else:
-        tx = build_optimizer(params, lr=5e-5, max_iter=1000)
+    # flat-optimizer A/B SETTLED round 5 (VERDICT r3 item 7 / r5 task 5):
+    # the single-flat-buffer AdamW measured 48.53 clips/s vs 61.93 for the
+    # per-leaf optax chain on the 2d_feature flagship (clean, uncontended) —
+    # a 22% REGRESSION. ravel_pytree's gather of ~450 leaves into one buffer
+    # costs far more than the ~900 small fused kernels it replaces; XLA
+    # already fuses the per-leaf chain well. build_flat_optimizer deleted
+    # (BENCH_LOCAL_r5.txt).
+    tx = build_optimizer(params, lr=5e-5, max_iter=1000)
     step = make_pretrain_train_step(model, tx, mesh=None, donate=True)
     state = create_train_state(params, tx)
     return step, state, batch

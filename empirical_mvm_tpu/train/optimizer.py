@@ -143,101 +143,3 @@ def build_optimizer(
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
-
-
-def build_flat_optimizer(
-    params: Any,
-    lr: float,
-    max_iter: int,
-    weight_decay: float = 1e-3,
-    betas: tuple[float, float] = (0.9, 0.98),
-    warmup_ratio: float = 0.1,
-    min_lr: float = 1e-8,
-    max_grad_norm: float = 1.0,
-    backbone_lr_mul: float = 1.0,
-    group_fn: Callable[[tuple[str, ...]], str] = default_group_fn,
-    freeze_prefixes: tuple[str, ...] = (),
-) -> optax.GradientTransformation:
-    """Numerically identical to :func:`build_optimizer`, executed flat.
-
-    The optax chain runs one fused op per PARAM LEAF per stage (~450 leaves
-    x global-norm + ~450 x adam = ~900 tiny kernels, ~40ms/step of pure
-    launch overhead on v5e — profiled round 2). Here every per-element
-    quantity lives in ONE flat fp32 buffer: grads are raveled once, the
-    global norm is one reduction, and the AdamW update is one fused
-    elementwise pass using per-element lr-multiplier / weight-decay vectors
-    precomputed from the group labels (same grouping quirks as
-    build_optimizer: substring-'bias' no-decay, swin backbone multiplier,
-    frozen prefixes; ref agent.py:84-113,187-189).
-
-    Does not support MultiSteps accumulation — callers with grad_accum > 1
-    use build_optimizer.
-    """
-    import numpy as np
-    from jax.flatten_util import ravel_pytree
-
-    import jax.numpy as jnp
-
-    def label_one(path: tuple[str, ...]) -> str:
-        name = ".".join(path)
-        if _is_frozen(name, freeze_prefixes):
-            return "frozen"
-        return group_fn(path)
-
-    # static per-element group vectors, built once on host
-    label_tree = jax.tree_util.tree_map_with_path(
-        lambda path, v: np.full(
-            np.size(v),
-            {"swin_decay": 0, "swin_nodecay": 1, "other_decay": 2,
-             "other_nodecay": 3, "frozen": 4}[
-                 label_one(tuple(p.key for p in path if hasattr(p, "key")))],
-            np.int8),
-        params)
-    gid = np.concatenate([np.ravel(l) for l in jax.tree.leaves(label_tree)])
-    mul_table = np.array([backbone_lr_mul, backbone_lr_mul, 1.0, 1.0, 0.0],
-                         np.float32)
-    wd_table = np.array([weight_decay, 0.0, weight_decay, 0.0, 0.0],
-                        np.float32)
-    lr_mul_vec = mul_table[gid]       # (P,) f32: 0 for frozen
-    wd_vec = wd_table[gid]
-
-    factor_fn = warmup_linear_factor(max_iter, warmup_ratio)
-    b1, b2 = betas
-    eps = 1e-8
-
-    def init(params):
-        flat, _ = ravel_pytree(params)
-        z = jnp.zeros_like(flat)
-        return {"mu": z, "nu": jnp.zeros_like(flat),
-                "count": jnp.zeros((), jnp.int32),
-                "lr_mul": jnp.asarray(lr_mul_vec),
-                "wd": jnp.asarray(wd_vec)}
-
-    def update(grads, state, params=None):
-        gflat, unravel = ravel_pytree(grads)
-        gflat = gflat.astype(jnp.float32)
-        if max_grad_norm > 0:
-            gnorm = jnp.sqrt(jnp.sum(gflat * gflat))
-            gflat = gflat * jnp.minimum(1.0, max_grad_norm
-                                        / jnp.maximum(gnorm, 1e-12))
-        count = state["count"] + 1
-        mu = b1 * state["mu"] + (1 - b1) * gflat
-        nu = b2 * state["nu"] + (1 - b2) * gflat * gflat
-        c = count.astype(jnp.float32)
-        mu_hat = mu / (1 - b1 ** c)
-        nu_hat = nu / (1 - b2 ** c)
-        # floor AFTER the backbone multiplier — matching build_optimizer,
-        # whose per-group schedules floor max(min_lr, lr*mul*factor); frozen
-        # params (mul 0) stay exactly 0, matching optax.set_to_zero
-        lr_mul = state["lr_mul"]
-        step_lr = jnp.where(
-            lr_mul > 0,
-            jnp.maximum(min_lr, lr * lr_mul * factor_fn(count - 1)), 0.0)
-        pflat, _ = ravel_pytree(params)
-        upd = -step_lr * (mu_hat / (jnp.sqrt(nu_hat) + eps)
-                          + state["wd"] * pflat.astype(jnp.float32))
-        new_state = {"mu": mu, "nu": nu, "count": count,
-                     "lr_mul": state["lr_mul"], "wd": state["wd"]}
-        return unravel(upd.astype(pflat.dtype)), new_state
-
-    return optax.GradientTransformation(init, update)

@@ -108,47 +108,3 @@ def test_task_token_and_prompt_keys():
     assert cfg.model.enable_task_token and cfg.model.task_token == "oe"
     assert cfg.data.prompt == "fill in the blank."
 
-
-def test_flat_optimizer_matches_optax_chain():
-    """build_flat_optimizer must reproduce build_optimizer's updates exactly
-    (same grouping quirks, clip, schedule) — it only changes the execution
-    layout."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    import optax
-
-    from empirical_mvm_tpu.train.optimizer import (build_flat_optimizer,
-                                                   build_optimizer)
-
-    rs = np.random.RandomState(0)
-    params = {
-        "enc_img": {"swin": {"layers_0": {
-            "qkv": {"kernel": jnp.asarray(rs.randn(8, 24), jnp.float32),
-                    "bias": jnp.asarray(rs.randn(24), jnp.float32)},
-            "norm": {"scale": jnp.asarray(rs.randn(8), jnp.float32),
-                     "bias": jnp.asarray(rs.randn(8), jnp.float32)}}}},
-        "fc": {"kernel": jnp.asarray(rs.randn(8, 2), jnp.float32),
-               "bias": jnp.asarray(rs.randn(2), jnp.float32)},
-        "frozen_head": {"kernel": jnp.asarray(rs.randn(4, 4), jnp.float32)},
-    }
-    kw = dict(lr=1e-3, max_iter=100, weight_decay=0.01, backbone_lr_mul=0.5,
-              max_grad_norm=1.0, freeze_prefixes=("frozen_head",))
-    tx_a = build_optimizer(params, **kw)
-    tx_b = build_flat_optimizer(params, **kw)
-    st_a = tx_a.init(params)
-    st_b = tx_b.init(params)
-    p_a = p_b = params
-    for i in range(3):
-        grads = jax.tree.map(
-            lambda v: jnp.asarray(rs.randn(*v.shape) * 2, jnp.float32),
-            params)
-        up_a, st_a = tx_a.update(grads, st_a, p_a)
-        up_b, st_b = tx_b.update(grads, st_b, p_b)
-        p_a = optax.apply_updates(p_a, up_a)
-        p_b = optax.apply_updates(p_b, up_b)
-    flat_a = jax.tree.leaves(p_a)
-    flat_b = jax.tree.leaves(p_b)
-    for a, b in zip(flat_a, flat_b):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=2e-7)

@@ -314,8 +314,7 @@ def test_frozen_teacher_params_skipped_by_optimizer():
     teacher (round-3 profile)."""
     import optax
 
-    from empirical_mvm_tpu.train.optimizer import (build_flat_optimizer,
-                                                   build_optimizer)
+    from empirical_mvm_tpu.train.optimizer import build_optimizer
 
     rs = np.random.RandomState(0)
     params = {
@@ -329,7 +328,7 @@ def test_frozen_teacher_params_skipped_by_optimizer():
     # teachers; any param motion can only come from weight decay
     grads = jax.tree.map(jnp.zeros_like, params)
 
-    for build in (build_optimizer, build_flat_optimizer):
+    for build in (build_optimizer,):
         tx = build(params, lr=1e-2, max_iter=10, weight_decay=0.5,
                    warmup_ratio=0.0)
         state = tx.init(params)
