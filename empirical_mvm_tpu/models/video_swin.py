@@ -307,13 +307,14 @@ class WindowAttention3D(nn.Module):
                                  nw_pred)
                            and not _os.environ.get("EMVM_PACKED_ATTN")
                            and not _os.environ.get("EMVM_NO_TSLICE"))
-            # 5D-direct probe (round 5, EMVM_DIRECT_ATTN=1): skip the
-            # partition entirely — the kernel reads the qkv GEMM output in
-            # its native 5D layout, one h-strip of windows per program, and
-            # scatters outputs back (no window_reverse either). Forward
-            # only; the backward repartitions internally.
+            # 5D-direct path (round 5, DEFAULT since the clean A/B:
+            # flagship 61.93 -> 63.52 clips/s): skip the partition entirely
+            # — the kernel (fwd AND native bwd) reads the qkv GEMM output
+            # in its native 5D layout, one h-strip of windows per program,
+            # and scatters outputs back (no window_reverse either).
+            # EMVM_NO_DIRECT_ATTN=1 reverts to partition + lane kernel.
             if (use_fused and t_fold == 1 and self.attn_drop == 0.0
-                    and _os.environ.get("EMVM_DIRECT_ATTN")):
+                    and not _os.environ.get("EMVM_NO_DIRECT_ATTN")):
                 from empirical_mvm_tpu.ops.window_attention import (
                     direct_attention_fits)
                 direct = direct_attention_fits(b5, dp, hp, wp, self.dim,

@@ -1295,9 +1295,11 @@ lane_self_attention.defvjp(_lane_sa_fwd, _lane_sa_bwd)
 # happens on-chip instead of through HBM), runs the lane per-head loop, and
 # scatters the outputs back to the 5D layout. Restricted to D == wd (one
 # temporal window — true for every trained-backbone stage; the 2D teachers
-# take the t-sliced fold instead). The backward reuses the proven lane /
-# packed backward on an explicitly partitioned view (the transposes return
-# there — measure before making this the default).
+# take the t-sliced fold instead). The backward is native too: same
+# in-VMEM window stack, dbias accumulated across the sequential grid.
+# DEFAULT for fitting shapes since the round-5 clean A/B (flagship
+# 61.93 -> 63.52 clips/s; per-stage microbench in tools/directbench.py);
+# EMVM_NO_DIRECT_ATTN=1 restores the partition + lane path.
 # ---------------------------------------------------------------------------
 
 
